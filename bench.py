@@ -1,0 +1,140 @@
+"""Benchmark: BPR training throughput (examples/sec/chip) on the flagship model.
+
+Runs the jit'd LightGCN BPR train step (full 3-layer propagation over the joint
+user-item-tag adjacency + loss + Adam update — the reference hot loop,
+training/basic_train.py:10-30 + model/lightgcn.py:49-82) on a hetrec-scale
+synthetic graph, on whatever backend JAX selects (the real TPU chip under the
+driver).
+
+Baseline: an independent torch (CPU) implementation of the same reference
+semantics — torch.sparse COO adjacency, 3 SpMM layers with per-layer
+normalize, layer-mean, BPR softplus, Adam — i.e. what the reference codebase
+does on this machine, measured in-process.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_graph():
+    from tagrec_tpu.data.synthetic import synthetic_graph_large
+
+    # hetrec movielens-2k scale: ~2k users, ~10k items, ~400k interactions
+    return synthetic_graph_large(n_user=2000, n_item=10000, n_tag=3000,
+                                 n_edges=400_000, tag_per_inter=0.3, seed=0)
+
+
+def bench_tpu(graph, batch=512, steps=100):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tagrec_tpu.config import TrainConfig, model_preset
+    from tagrec_tpu.models.lightgcn import LightGCN
+    from tagrec_tpu.ops import sampling
+    from tagrec_tpu.training.train import Trainer, bpr_phase
+
+    cfg = model_preset("lightgcn", reg=1e-4)
+    tcfg = TrainConfig(train_batch=batch)
+    model = LightGCN(graph, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gdev = model.device_data()
+    pt = sampling.build_pos_table(graph.user_items["train"], graph.n_user,
+                                  graph.n_item)
+    edges = graph.edge_index["train"]
+
+    def loss_fn(p, b, key):
+        return model.bpr_loss(p, gdev, b, key=key)
+
+    phase = bpr_phase("bpr", edges, pt, batch, loss_fn)
+    # Cap the scanned epoch at `steps` steps for timing.
+    phase.steps_per_epoch = min(phase.steps_per_epoch, steps)
+    trainer = Trainer([phase], tcfg)
+    opt_state = trainer.init_opt_state(params)
+    fn = trainer._epoch_fn(phase)
+
+    key = jax.random.PRNGKey(1)
+    # warmup + compile
+    p, o, key, parts = fn(params, opt_state, key)
+    jax.block_until_ready(parts)
+    t0 = time.perf_counter()
+    p, o, key, parts = fn(p, o, key)
+    jax.block_until_ready(parts)
+    dt = time.perf_counter() - t0
+    n_steps = phase.steps_per_epoch
+    return batch * n_steps / dt, dt / n_steps
+
+
+def bench_torch_baseline(graph, batch=512, steps=8):
+    """Reference-semantics LightGCN step in torch on CPU (independent impl)."""
+    import torch
+
+    torch.manual_seed(0)
+    coo = graph.joint_norm_adj("bi_norm", True)
+    n = coo.shape[0]
+    idx = torch.tensor(np.stack([coo.row, coo.col]), dtype=torch.long)
+    val = torch.tensor(coo.val)
+    adj = torch.sparse_coo_tensor(idx, val, (n, n)).coalesce()
+
+    nu, ni, nt = graph.n_user, graph.n_item, graph.n_tag
+    embed = [torch.nn.Parameter(torch.empty(m, 64)) for m in (nu, ni, nt)]
+    for e in embed:
+        torch.nn.init.xavier_uniform_(e)
+    opt = torch.optim.Adam(embed, lr=0.01)
+
+    edges = graph.edge_index["train"]
+    rng = np.random.default_rng(0)
+
+    def step():
+        sel = rng.integers(0, len(edges), batch)
+        u = torch.tensor(edges[sel, 0], dtype=torch.long)
+        i = torch.tensor(edges[sel, 1], dtype=torch.long)
+        j = torch.tensor(rng.integers(0, ni, batch), dtype=torch.long)
+        x = torch.cat(embed, dim=0)
+        outs = [x]
+        for _ in range(3):
+            x = torch.sparse.mm(adj, x)
+            outs.append(torch.nn.functional.normalize(x, p=2, dim=1))
+        final = torch.stack(outs, dim=1).mean(dim=1)
+        uu, ii = final[:nu], final[nu:nu + ni]
+        ue, pe, ne = uu[u], ii[i], ii[j]
+        pos = (ue * pe).sum(1)
+        neg = (ue * ne).sum(1)
+        loss = torch.nn.functional.softplus(neg - pos).mean()
+        reg = 0.5 * (embed[0][u].norm(2) ** 2 + embed[1][i].norm(2) ** 2
+                     + embed[1][j].norm(2) ** 2) / batch
+        loss = loss + 1e-4 * reg
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    graph = build_graph()
+    ours, step_time = bench_tpu(graph)
+    base = bench_torch_baseline(graph)
+    print(json.dumps({
+        "metric": "lightgcn_bpr_examples_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ours / base, 3),
+        "details": {"step_ms": round(step_time * 1e3, 3),
+                    "torch_cpu_baseline_examples_per_s": round(base, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

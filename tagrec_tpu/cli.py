@@ -1,0 +1,111 @@
+"""Command-line entry — capability parity with the reference ``main.py``.
+
+``python -m tagrec_tpu.cli --model lightgcn --data_root /data --dataset lastfm``
+runs: seed, load graph, compose pipeline, train with early stopping, reload the
+best checkpoint, final test + 4-group cold-start breakdown (main.py:11-41).
+``--dataset synthetic`` trains on a generated graph (no files needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from tagrec_tpu.compose import build_pipeline
+from tagrec_tpu.config import TrainConfig, model_preset
+from tagrec_tpu.data.graph import HeteroGraph
+from tagrec_tpu.data.synthetic import synthetic_graph
+from tagrec_tpu.training import checkpoint
+from tagrec_tpu.training.early_stop import EarlyStop
+from tagrec_tpu.training.train import Trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="tagrec_tpu training driver")
+    p.add_argument("--model", type=str, default="lightgcn")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--train_batch", type=int, default=512)
+    p.add_argument("--test_batch", type=int, default=512)
+    p.add_argument("--has_val", action="store_true")
+    p.add_argument("--no_tag", action="store_true")
+    p.add_argument("--patient_epoch", type=int, default=10)
+    p.add_argument("--test_interval", type=int, default=5)
+    p.add_argument("--early_stop_key", type=str, default="ndcg")
+    p.add_argument("--topks", type=int, nargs="+", default=[10, 20])
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--reg", type=float, default=0.0)
+    p.add_argument("--cor_reg", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--dim_latent", type=int, default=64)
+    p.add_argument("--dim_layer_list", type=int, nargs="+", default=[64, 32, 16])
+    p.add_argument("--message_drop_list", type=float, nargs="+", default=[0., 0., 0.])
+    p.add_argument("--node_drop", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--out_dir", type=str, default="run")
+    p.add_argument("--group_k", type=int, default=4)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    mcfg = model_preset(
+        args.model,
+        dim_latent=args.dim_latent,
+        dim_layer_list=tuple(args.dim_layer_list),
+        message_drop_list=tuple(args.message_drop_list),
+        node_drop=args.node_drop,
+        reg=args.reg,
+        cor_reg=args.cor_reg,
+        use_tag=not args.no_tag,
+    )
+    tcfg = TrainConfig(
+        train_batch=args.train_batch, test_batch=args.test_batch,
+        has_val=args.has_val, patient_epoch=args.patient_epoch,
+        test_interval=args.test_interval, early_stop_key=args.early_stop_key,
+        topks=tuple(args.topks), lr=args.lr, epochs=args.epochs, seed=args.seed)
+
+    out_dir = os.path.join(args.out_dir, args.model, args.dataset,
+                           time.strftime("%m-%d-%H-%M"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.dataset == "synthetic":
+        graph = synthetic_graph(seed=args.seed)
+    else:
+        graph = HeteroGraph.load(args.data_root, args.dataset,
+                                 has_val=args.has_val, use_tag=not args.no_tag)
+    print(f"graph ready: {graph.num}")
+
+    pipe = build_pipeline(graph, mcfg, tcfg)
+    key = jax.random.PRNGKey(tcfg.seed)
+    key, k_init = jax.random.split(key)
+    params = pipe.model.init(k_init)
+
+    ckpt_path = os.path.join(out_dir, "model.npz")
+    stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key, save_path=ckpt_path)
+    trainer = Trainer(pipe.phases, tcfg)
+    trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop)
+
+    # reload best checkpoint for the final report (main.py:24)
+    best = checkpoint.load(ckpt_path, params) if os.path.exists(ckpt_path) \
+        else stop.best_params
+    results = pipe.evaluator.run(pipe.model, best, pipe.gdev, istest=True)
+    print(f"test result: {results}")
+    groups = pipe.evaluator.run(pipe.model, best, pipe.gdev, istest=True,
+                                group_k=args.group_k)
+    print(f"group result: {groups}")
+
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump({"test": results,
+                   "group": {k: v for k, v in groups.items()},
+                   "best_epoch": stop.best_epoch}, f, indent=2, default=float)
+    return results
+
+
+if __name__ == "__main__":
+    main()

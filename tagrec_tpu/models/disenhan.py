@@ -1,0 +1,144 @@
+"""DisenHAN — heterogeneous disentangled attention over six typed relations.
+
+Capability parity with reference model/disenhan.py:12-221:
+* relations [ui, iu, ut, tu, it, ti] with LOCAL per-type ids (src, dst type
+  pairs [[0,1],[1,0],[0,2],[2,0],[1,2],[2,1]], model/disenhan.py:79,127-148)
+* per layer: per-node-type per-factor projections Wtk [3, F, d, dk] (no bias)
+  + LeakyReLU + per-factor L2 normalize
+* ``iterate``=2 rounds: per relation an un-normalized edge score
+  e_ts = ReLU([z_u ‖ z_i] · a_e), weighted by the current relation-factor
+  distribution r (summed over factors), sparse-softmaxed over each source
+  node's edges (torch.sparse.softmax dim=1 -> masked ELL row softmax here),
+  per-factor aggregation + LeakyReLU + shared W, new factor distribution
+  r = softmax_f(tanh(z) · q_e)
+* per node type aggregate over its incident relations (u<-{ui,ut}, i<-{iu,it},
+  t<-{tu,ti}) with residual from the layer's static projections + normalize
+* factors concatenated; layers chained (layer-output concat code is dead in
+  the reference, model/disenhan.py:165-180)
+* quirk #7 note: the reference creates r on CPU each forward (device mismatch
+  on CUDA); behaviorally it is a uniform 1/F init per forward — reproduced.
+* BPR(softplus) + L2 on final embeddings.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tagrec_tpu.config import ModelConfig
+from tagrec_tpu.data.graph import HeteroGraph
+from tagrec_tpu.models import base
+from tagrec_tpu.ops import ell as ell_lib
+from tagrec_tpu.ops.propagate import ell_softmax, l2_normalize
+
+
+# (src_type, dst_type) per relation, matching model/disenhan.py:79
+REL_TYPES = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1))
+
+
+class DisenHAN:
+    def __init__(self, graph: HeteroGraph, cfg: ModelConfig):
+        self.cfg = cfg
+        self.num_list = [graph.n_user, graph.n_item, graph.n_tag]
+        assert cfg.dim_latent % cfg.factor_k == 0
+        self.dim_k = cfg.dim_latent // cfg.factor_k
+        ui, ut, it = graph.ui_adj, graph.ut_adj, graph.it_adj
+        rel_coos = [ui, ui.transpose(), ut, ut.transpose(), it, it.transpose()]
+        self._rel_hosts = [ell_lib.ell_from_coo(c) for c in rel_coos]
+
+    def device_data(self):
+        rels = tuple(ell_lib.to_device(h) for h in self._rel_hosts)
+        masks = tuple(ell_lib.ell_mask(r).astype(jnp.float32) for r in rels)
+        return {"rels": rels, "masks": masks}
+
+    def init(self, key):
+        cfg = self.cfg
+        k_emb, *k_layers = jax.random.split(key, cfg.num_layer + 1)
+        params = {"embed": base.init_embeddings(k_emb, self.num_list,
+                                                cfg.dim_latent),
+                  "layers": []}
+        for kl in k_layers:
+            k1, k2, k3, k4 = jax.random.split(kl, 4)
+            params["layers"].append({
+                "Wtk": base.xavier_uniform(k1, (3, cfg.factor_k,
+                                                cfg.dim_latent, self.dim_k)),
+                "at": base.xavier_uniform(k2, (6, cfg.factor_k, 2 * self.dim_k)),
+                "W": base.xavier_uniform(k3, (self.dim_k, self.dim_k)),
+                "q_rela": base.xavier_uniform(k4, (6, self.dim_k)),
+            })
+        return params
+
+    # ------------------------------------------------------------------ core
+    def _rela_update(self, lp, e, ell, mask, new_src, old_dst, r_src):
+        """One relation's attention aggregation (model/disenhan.py:36-60).
+
+        new_src: [F, n_src, dk] routed source factors
+        old_dst: [F, n_dst, dk] static destination projections
+        r_src:   [F, n_src] relation-factor distribution
+        """
+        tail = jnp.take(old_dst, ell.idx, axis=1)               # [F, N, K, dk]
+        head = new_src[:, :, None, :]                           # [F, N, 1, dk]
+        a = lp["at"][e]                                         # [F, 2dk]
+        e_ts = (jnp.einsum("fnkd,fd->fnk",
+                           jnp.broadcast_to(head, tail.shape),
+                           a[:, : self.dim_k])
+                + jnp.einsum("fnkd,fd->fnk", tail, a[:, self.dim_k:]))
+        e_ts = jax.nn.relu(e_ts)
+        e_rela = jnp.sum(e_ts * r_src[:, :, None], axis=0)      # [N, K]
+        soft = ell_softmax(ell, jnp.where(mask > 0, e_rela,
+                                          jnp.zeros_like(e_rela)))
+        zk = jnp.einsum("nk,fnkd->fnd", soft, tail)
+        zk = jax.nn.leaky_relu(zk, negative_slope=0.2)
+        emb_z = zk @ lp["W"]                                    # [F, n_src, dk]
+        new_r = jax.nn.softmax(
+            jnp.einsum("fnd,d->fn", jnp.tanh(emb_z), lp["q_rela"][e]), axis=0)
+        return new_r, emb_z
+
+    def _layer(self, lp, gdev, embs):
+        cfg = self.cfg
+        rels, masks = gdev["rels"], gdev["masks"]
+        fac = [l2_normalize(
+            jax.nn.leaky_relu(jnp.einsum("nd,fdk->fnk", embs[t], lp["Wtk"][t]),
+                              negative_slope=0.2), axis=2)
+            for t in range(3)]
+        new = list(fac)
+        r_list = [jnp.full((cfg.factor_k, rels[e].idx.shape[0]),
+                           1.0 / cfg.factor_k) for e in range(6)]
+        for _ in range(2):  # reference hardcodes iterate=2 (model/disenhan.py:157)
+            rela, emb_list = [], []
+            for e in range(6):
+                src_t, dst_t = REL_TYPES[e]
+                nr, ez = self._rela_update(lp, e, rels[e], masks[e],
+                                           new[src_t], fac[dst_t], r_list[e])
+                rela.append(nr)
+                emb_list.append(ez)
+
+            def new_fac(ego, idx_list):
+                out = ego
+                for i in idx_list:
+                    out = out + emb_list[i] * rela[i][:, :, None]
+                return l2_normalize(out, axis=2)
+
+            new = [new_fac(fac[0], [0, 2]),
+                   new_fac(fac[1], [1, 4]),
+                   new_fac(fac[2], [3, 5])]
+            r_list = rela
+        # concat factors per type -> [n_t, F*dk]
+        return [jnp.concatenate(list(x), axis=1) for x in new]
+
+    def forward(self, params, gdev, *, training: bool = False, key=None):
+        embs = list(params["embed"])
+        for lp in params["layers"]:
+            embs = self._layer(lp, gdev, embs)
+        return tuple(embs)
+
+    def bpr_loss(self, params, gdev, batch, *, key=None, training: bool = True,
+                 cor=None):
+        embs = self.forward(params, gdev, training=training, key=key)
+        u_all, i_all = embs[0], embs[1]
+        return base.bpr_with_reg(u_all, i_all, u_all, i_all, batch,
+                                 self.cfg.mul_loss_func, self.cfg.reg)
+
+    def predict(self, params, gdev, users):
+        embs = self.forward(params, gdev, training=False)
+        return base.predict_sigmoid(jnp.take(embs[0], users, axis=0), embs[1])

@@ -1,0 +1,168 @@
+"""KGAT (on the tag tripartite graph) — relation-projected attention + TransE phase.
+
+Capability parity with reference model/kgat.py:10-170, as wired by com.py:77-86
+(kgat_comp uses TGCN_load, so KGAT runs over the six tag-graph relations
+[ui, iu, ut, tu, it, ti], not kg_final.txt — SURVEY quirk #2):
+
+* entities = items then tags (global ids offset by n_user); 6 relations
+* attention per typed edge: π = (W_r e_t) · tanh(W_r e_h + e_r)
+  (model/kgat.py:69-77), row-softmax over each head's outgoing edges
+  (torch.sparse.softmax dim=1, model/kgat.py:97)
+* NGCF-style bi-interaction propagation over the attention adjacency with
+  layer concat (model/kgat.py:106-125), bias folded into weights (quirk #4)
+* **quirk #3 reproduced**: the shipped config sets agg_type="bi_agg" but the
+  code checks "bi_inter" (utility/config.py:58 vs model/kgat.py:100), so by
+  default propagation is SKIPPED and KGAT degenerates to MF + TransE.  Set
+  agg_type="bi_inter" for the intended propagation.  (The reference's
+  attention construction additionally has a latent [2,E][:,0] shape bug,
+  model/kgat.py:71-72, which the skip makes unobservable; here the attention
+  math is implemented correctly for the bi_inter path.)
+* ``predict`` scores users against ALL entities (items + tags), matching
+  predict_rating's use of the full entity table (model/kgat.py:165-169) —
+  the evaluator is score-width agnostic, so metric semantics match.
+* phase-2 TransE with per-relation projections and squared-norm softplus loss
+  (model/kgat.py:127-141,155-163), reg scaled by cor_reg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tagrec_tpu.config import ModelConfig
+from tagrec_tpu.data.graph import HeteroGraph
+from tagrec_tpu.models import base
+from tagrec_tpu.ops import ell as ell_lib
+from tagrec_tpu.ops import losses
+from tagrec_tpu.ops.propagate import ell_softmax, l2_normalize, message_dropout
+
+
+class KGAT:
+    NUM_RELATION = 6
+
+    def __init__(self, graph: HeteroGraph, cfg: ModelConfig):
+        self.cfg = cfg
+        self.num_user = graph.n_user
+        self.num_entity = graph.n_item + graph.n_tag
+        self.n = self.num_user + self.num_entity
+        self.dims = [cfg.dim_latent] + list(cfg.dim_layer_list)
+
+        # Joint directed adjacency over all 6 relations with per-slot relation
+        # ids, bucketed by out-degree.  Encoding: edge value = rel + 1 so ELL
+        # padding (0) is distinguishable.
+        rel_edges = graph.relation_edges()
+        rows = np.concatenate([rel_edges[k][0] for k in range(6)])
+        cols = np.concatenate([rel_edges[k][1] for k in range(6)])
+        rels = np.concatenate([np.full(rel_edges[k].shape[1], k + 1.0,
+                                       dtype=np.float32) for k in range(6)])
+        self._adj_host = ell_lib.build_ell_buckets(rows, cols, rels, self.n,
+                                                   self.n)
+
+    def device_data(self):
+        adj = ell_lib.buckets_to_device(self._adj_host)
+        return {"adj": adj}
+
+    def init(self, key):
+        cfg = self.cfg
+        ks = jax.random.split(key, 4 + 4 * cfg.num_layer)
+        params = {
+            "user": base.xavier_uniform(ks[0], (self.num_user, cfg.dim_latent)),
+            "entity": base.xavier_uniform(ks[1], (self.num_entity, cfg.dim_latent)),
+            "relation": base.xavier_uniform(ks[2], (self.NUM_RELATION,
+                                                    cfg.dim_relation)),
+            "transE": base.xavier_uniform(ks[3], (self.NUM_RELATION,
+                                                  cfg.dim_latent,
+                                                  cfg.dim_relation)),
+            "mat": {},
+        }
+        for k in range(cfg.num_layer):
+            d_in, d_out = self.dims[k], self.dims[k + 1]
+            params["mat"][f"W1_{k}"] = base.xavier_uniform(ks[4 + 4 * k], (d_in, d_out))
+            params["mat"][f"b1_{k}"] = base.xavier_uniform(ks[5 + 4 * k], (1, d_out))
+            params["mat"][f"W2_{k}"] = base.xavier_uniform(ks[6 + 4 * k], (d_in, d_out))
+            params["mat"][f"b2_{k}"] = base.xavier_uniform(ks[7 + 4 * k], (1, d_out))
+        return params
+
+    def _propagate(self, params, all_embed, gdev, training, key):
+        """bi-interaction propagation over the attention adjacency."""
+        cfg = self.cfg
+        adj = gdev["adj"]
+
+        proj = jnp.einsum("nd,rde->rne", all_embed, params["transE"])
+        proj_flat = proj.reshape(-1, cfg.dim_relation)
+
+        # Per-bucket attention + row softmax; values replace the adjacency.
+        att_parts = []
+        offset = 0
+        for part, rows in zip(adj.parts, self._rows_dev()):
+            rel = jnp.maximum(part.val.astype(jnp.int32) - 1, 0)
+            tr = jnp.take(proj_flat, rel * self.n + part.idx, axis=0)
+            hr = (jnp.take(proj_flat, rel * self.n + rows[:, None], axis=0)
+                  + jnp.take(params["relation"], rel, axis=0))
+            pai = jnp.sum(tr * jnp.tanh(hr), axis=-1)            # [Nb, K]
+            soft = ell_softmax(part, pai)
+            att_parts.append(ell_lib.Ell(idx=part.idx, val=soft, deg=part.deg))
+            offset += part.idx.shape[0]
+
+        def att_mm(x):
+            outs = [jnp.einsum("nk,nkd->nd", p.val, jnp.take(x, p.idx, axis=0))
+                    for p in att_parts]
+            return jnp.take(jnp.concatenate(outs, axis=0), adj.inv_perm, axis=0)
+
+        x = all_embed
+        outs = [x]
+        for k in range(cfg.num_layer):
+            nei = att_mm(x)
+            sum_emb = jax.nn.leaky_relu(
+                (nei + x) @ (params["mat"][f"W1_{k}"] + params["mat"][f"b1_{k}"]),
+                negative_slope=0.2)
+            bi_emb = jax.nn.leaky_relu(
+                (nei * x) @ (params["mat"][f"W2_{k}"] + params["mat"][f"b2_{k}"]),
+                negative_slope=0.2)
+            x = sum_emb + bi_emb
+            if training and cfg.message_drop_list[k] > 0.0:
+                key, sub = jax.random.split(key)
+                x = message_dropout(x, cfg.message_drop_list[k], sub, training)
+            outs.append(l2_normalize(x))
+        return jnp.concatenate(outs, axis=1)
+
+    def _rows_dev(self):
+        if not hasattr(self, "_rows_cache"):
+            self._rows_cache = tuple(jnp.asarray(r, dtype=jnp.int32)
+                                     for r in self._adj_host.rows)
+        return self._rows_cache
+
+    # --------------------------------------------------------------- forward
+    def forward(self, params, gdev, *, training: bool = False, key=None):
+        all_embed = jnp.concatenate([params["user"], params["entity"]], axis=0)
+        if self.cfg.agg_type == "bi_inter":
+            all_embed = self._propagate(params, all_embed, gdev, training, key)
+        # else: quirk #3 — propagation skipped, ego embeddings returned
+        return (all_embed[: self.num_user], all_embed[self.num_user:])
+
+    # ----------------------------------------------------------------- loss
+    def bpr_loss(self, params, gdev, batch, *, key=None, training: bool = True):
+        u_all, e_all = self.forward(params, gdev, training=training, key=key)
+        # items occupy the first n_item entity rows; batch ids are item ids
+        return base.bpr_with_reg(u_all, e_all, u_all, e_all, batch,
+                                 self.cfg.mul_loss_func, self.cfg.reg)
+
+    def transe_loss(self, params, gdev, batch, *, key=None):
+        """(h, r, t+, t-) — per-relation projected squared-norm TransE
+        (model/kgat.py:127-141,155-163)."""
+        h, r, tp, tn = batch[:, 0], batch[:, 1], batch[:, 2], batch[:, 3]
+        all_embed = jnp.concatenate([params["user"], params["entity"]], axis=0)
+        w = jnp.take(params["transE"], r, axis=0)               # [B, d, dr]
+        r_e = jnp.take(params["relation"], r, axis=0)
+        h_e = jnp.einsum("bd,bde->be", jnp.take(all_embed, h, axis=0), w)
+        p_e = jnp.einsum("bd,bde->be", jnp.take(all_embed, tp, axis=0), w)
+        n_e = jnp.einsum("bd,bde->be", jnp.take(all_embed, tn, axis=0), w)
+        kg_loss = losses.transe_loss_sq(h_e, r_e, p_e, n_e)
+        reg = losses.l2reg_loss(h_e, r_e, p_e, n_e)
+        return kg_loss, self.cfg.cor_reg * reg
+
+    # -------------------------------------------------------------- predict
+    def predict(self, params, gdev, users):
+        u_all, e_all = self.forward(params, gdev, training=False)
+        return base.predict_sigmoid(jnp.take(u_all, users, axis=0), e_all)

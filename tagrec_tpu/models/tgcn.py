@@ -1,0 +1,250 @@
+"""TGCN — tag-aware GCN with dual attention + convolutional fusion.
+
+Capability parity with reference model/tgcn.py:11-268:
+* padded fixed-width (k=25) neighbor tables for the six relations
+  [ui, ut, iu, it, tu, ti] (data/tgcn_load.py:27-53), ids shifted +1 with row 0
+  as zero padding; interaction-multiplicity ("weight") embeddings participate
+  in attention scores
+* per layer ``BasicLayer``: (1) Attention1 per *neighbor type* (shared between
+  e.g. user-gathers-items and tag-gathers-items): softmax over the k sampled
+  neighbors of score ReLU([e_v ‖ e_w]W1 + e_j W2 + b)·vᵀ; (2) Attention2 fusing
+  the three per-type aggregates with a tiny softmax gate; (3) 2D convolutions
+  over the stacked [3, d] matrix — bit-level (3,1)x32ch + vector-level
+  (j,d), j∈{1,2,3}, x8ch — expressed as dense einsums here; (4) linear fusion
+* final = concat of [ego, normalized layer outputs] (dims 64+64+32+16)
+* quirk #6 reproduced: the reference's per-layer ``sample()`` shuffles an index
+  array it never uses and always takes the first k columns of tables sampled
+  once at init (model/tgcn.py:196-199) — i.e. neighbor tables are effectively
+  STATIC.  Default here matches (tables sampled once on host at build time);
+  set ``resample_each_layer=True`` for true on-device per-layer resampling via
+  jax.random (the intended behavior).
+* phase-1 BPR(logsigmoid) + L2 on final embeddings; phase-2 TransTag margin
+  loss on ego embeddings (model/tgcn.py:251-261).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tagrec_tpu.config import ModelConfig
+from tagrec_tpu.data.graph import COO, HeteroGraph
+from tagrec_tpu.models import base
+from tagrec_tpu.ops import losses
+from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
+
+
+def _sample_neighbor_table(coo: COO, k: int, rng: np.random.Generator):
+    """Sample k neighbors (with replacement) + weights per row; ids +1, 0=pad.
+
+    Equivalent to taking the first k columns of the reference's max-degree
+    tables (data/utils.py:87-106 + model/tgcn.py:197-199).
+    """
+    n = coo.shape[0]
+    idx = np.zeros((n, k), dtype=np.int32)
+    w = np.zeros((n, k), dtype=np.int32)
+    order = np.argsort(coo.row, kind="stable")
+    rows, cols, vals = coo.row[order], coo.col[order], coo.val[order]
+    deg = np.bincount(rows, minlength=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    for i in range(n):
+        if deg[i] == 0:
+            continue
+        sel = rng.integers(0, deg[i], size=k)
+        idx[i] = cols[starts[i] + sel] + 1
+        w[i] = vals[starts[i] + sel].astype(np.int32)
+    return idx, w
+
+
+class TGCN:
+    # neighbor-table order (data/tgcn_load.py:29): ui, ut, iu, it, tu, ti
+    REL_ORDER = ("u_iw", "u_tw", "i_uw", "i_tw", "t_uw", "t_iw")
+
+    def __init__(self, graph: HeteroGraph, cfg: ModelConfig,
+                 resample_each_layer: bool = False, sample_seed: int = 0):
+        self.cfg = cfg
+        self.num_list = [graph.n_user, graph.n_item, graph.n_tag]
+        self.num_weight = graph.num["weight"]
+        self.dims = [cfg.dim_latent] + list(cfg.dim_layer_list)
+        self.resample_each_layer = resample_each_layer
+
+        rng = np.random.default_rng(sample_seed)
+        adjs = [graph.ui_adj, graph.ut_adj, graph.ui_adj.transpose(),
+                graph.it_adj, graph.ut_adj.transpose(),
+                graph.it_adj.transpose()]
+        self._tables = [
+            _sample_neighbor_table(a, cfg.neighbor_k, rng) for a in adjs]
+
+    def device_data(self):
+        out = {}
+        for name, (idx, w) in zip(self.REL_ORDER, self._tables):
+            out[name] = (jnp.asarray(idx), jnp.asarray(w))
+        return out
+
+    # ------------------------------------------------------------------ init
+    def init(self, key):
+        cfg = self.cfg
+        k_emb, k_w, *k_layers = jax.random.split(key, cfg.num_layer + 2)
+        params = {
+            "embed": base.init_embeddings(k_emb, self.num_list, cfg.dim_latent),
+            "weight": base.xavier_uniform(k_w, (self.num_weight,
+                                                cfg.dim_weight)),
+            "layers": [],
+        }
+        for li, kl in enumerate(k_layers):
+            d_in, d_out = self.dims[li], self.dims[li + 1]
+            ks = jax.random.split(kl, 16)
+            lp = {"atten1": {}}
+            for ti, tname in enumerate(("user", "item", "tag")):
+                lp["atten1"][tname] = {
+                    "W1": base.xavier_uniform(ks[4 * ti + 0],
+                                              (d_in + cfg.dim_weight,
+                                               cfg.dim_atten)),
+                    "W2": base.xavier_uniform(ks[4 * ti + 1], (d_in, cfg.dim_atten)),
+                    "b": base.xavier_uniform(ks[4 * ti + 2], (1, cfg.dim_atten)),
+                    "v": base.xavier_uniform(ks[4 * ti + 3], (1, cfg.dim_atten)),
+                }
+            lp["U"] = base.xavier_uniform(ks[12], (d_in, cfg.dim_atten))
+            kq, kp = jax.random.split(ks[13])
+            lp["q"] = base.xavier_uniform(kq, (1, cfg.dim_atten))
+            lp["p"] = base.xavier_uniform(kp, (1, cfg.dim_atten))
+            # conv weights initialized with torch Conv2d shapes for matching
+            # xavier fan computation, then squeezed for the einsum form
+            kb, k1, k2, k3 = jax.random.split(ks[14], 4)
+            lp["bit"] = base.xavier_uniform(kb, (cfg.num_bit_conv, 1, 3, 1))[:, 0, :, 0]
+            lp["vec"] = [
+                base.xavier_uniform(kj, (cfg.num_vec_conv, 1, j, d_in))[:, 0]
+                for kj, j in ((k1, 1), (k2, 2), (k3, 3))]
+            in_k = cfg.num_bit_conv * d_in + cfg.num_vec_conv * (3 + 2 + 1)
+            kf, kbf = jax.random.split(ks[15])
+            lp["Wf"] = base.xavier_uniform(kf, (in_k, d_out))
+            lp["bf"] = base.xavier_uniform(kbf, (1, d_out))
+            params["layers"].append(lp)
+        return params
+
+    # ------------------------------------------------------------- attention
+    @staticmethod
+    def _atten1(ap, ev, ej, ew, v_j, v_w):
+        """Neighbor attention (model/tgcn.py:11-37).  ev [N,d]; ej/ew are the
+        neighbor-type / weight embedding tables (zero row prepended)."""
+        eNj = jnp.take(ej, v_j, axis=0)                  # [N, k, d]
+        eNw = jnp.take(ew, v_w, axis=0)                  # [N, k, dw]
+        k = v_j.shape[1]
+        eNv = jnp.broadcast_to(ev[:, None, :], (ev.shape[0], k, ev.shape[1]))
+        cat = jnp.concatenate([eNv, eNw], axis=-1)
+        av = cat @ ap["W1"] + eNj @ ap["W2"] + ap["b"]
+        x = jax.nn.relu(av) @ ap["v"].T                  # [N, k, 1]
+        a = jax.nn.softmax(x, axis=1)                    # over k (pads included,
+        # matching the reference which does not mask; zero-degree rows attend
+        # to the zero row uniformly and aggregate to 0)
+        return jnp.sum(a * eNj, axis=1)
+
+    @staticmethod
+    def _atten2(lp, u, i, t):
+        uit = jnp.stack([u, i, t], axis=1)               # [N, 3, d]
+        x = uit @ lp["U"] + lp["q"]
+        x = jax.nn.relu(x) @ lp["p"].T                   # [N, 3, 1]
+        b = jax.nn.softmax(x, axis=1)
+        return b * uit
+
+    @staticmethod
+    def _conv(lp, eN):
+        """Bit-level + vector-level convolutions as einsums (model/tgcn.py:66-101)."""
+        bit = jnp.einsum("ncd,oc->nod", eN, lp["bit"])
+        bit = jax.nn.relu(bit).reshape(eN.shape[0], -1)  # [N, 32*d]
+        vecs = []
+        for j, w in zip((1, 2, 3), lp["vec"]):           # w: [8, j, d]
+            outs = [jnp.einsum("ncd,ocd->no", eN[:, p:p + j, :], w)
+                    for p in range(3 - j + 1)]
+            y = jax.nn.relu(jnp.stack(outs, axis=2))     # [N, 8, 3-j+1]
+            vecs.append(y.reshape(eN.shape[0], -1))
+        return jnp.concatenate([bit] + vecs, axis=1)
+
+    def _fusion(self, lp, x):
+        return jax.nn.relu(x @ lp["Wf"] + lp["bf"])
+
+    def _resample(self, gdev, key):
+        """On-device per-layer neighbor resampling (intended behavior)."""
+        out = {}
+        keys = jax.random.split(key, 6)
+        for kk, name in zip(keys, self.REL_ORDER):
+            idx, w = gdev[name]
+            j = jax.random.randint(kk, idx.shape, 0, idx.shape[1])
+            out[name] = (jnp.take_along_axis(idx, j, axis=1),
+                         jnp.take_along_axis(w, j, axis=1))
+        return out
+        # note: gdev tables already encode one with-replacement draw; a second
+        # resample over them approximates a fresh draw from the true lists
+
+    # --------------------------------------------------------------- forward
+    def forward(self, params, gdev, *, training: bool = False, key=None):
+        cfg = self.cfg
+        eu, ei, et = params["embed"]
+        ew = params["weight"]
+        ew0 = jnp.concatenate([jnp.zeros((1, cfg.dim_weight)), ew], axis=0)
+        outs_u, outs_i, outs_t = [eu], [ei], [et]
+        for li, lp in enumerate(params["layers"]):
+            if self.resample_each_layer and key is not None:
+                key, sub = jax.random.split(key)
+                tabs = self._resample(gdev, sub)
+            else:
+                tabs = gdev
+            zu = jnp.zeros((1, eu.shape[1]))
+            eu0 = jnp.concatenate([zu, eu], axis=0)
+            ei0 = jnp.concatenate([zu, ei], axis=0)
+            et0 = jnp.concatenate([zu, et], axis=0)
+            a1 = lp["atten1"]
+            eu_iN = self._atten1(a1["item"], eu, ei0, ew0, *tabs["u_iw"])
+            eu_tN = self._atten1(a1["tag"], eu, et0, ew0, *tabs["u_tw"])
+            ei_uN = self._atten1(a1["user"], ei, eu0, ew0, *tabs["i_uw"])
+            ei_tN = self._atten1(a1["tag"], ei, et0, ew0, *tabs["i_tw"])
+            et_uN = self._atten1(a1["user"], et, eu0, ew0, *tabs["t_uw"])
+            et_iN = self._atten1(a1["item"], et, ei0, ew0, *tabs["t_iw"])
+
+            euN = self._atten2(lp, eu, eu_iN, eu_tN)
+            eiN = self._atten2(lp, ei_uN, ei, ei_tN)
+            etN = self._atten2(lp, et_uN, et_iN, et)
+
+            eu = self._fusion(lp, self._conv(lp, euN))
+            ei = self._fusion(lp, self._conv(lp, eiN))
+            et = self._fusion(lp, self._conv(lp, etN))
+            if training and cfg.message_drop_list[li] > 0.0 and key is not None:
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                r = cfg.message_drop_list[li]
+                eu = message_dropout(eu, r, k1, training)
+                ei = message_dropout(ei, r, k2, training)
+                et = message_dropout(et, r, k3, training)
+            outs_u.append(l2_normalize(eu))
+            outs_i.append(l2_normalize(ei))
+            outs_t.append(l2_normalize(et))
+        return (jnp.concatenate(outs_u, axis=1),
+                jnp.concatenate(outs_i, axis=1),
+                jnp.concatenate(outs_t, axis=1))
+
+    # ----------------------------------------------------------------- loss
+    def bpr_loss(self, params, gdev, batch, *, key=None, training: bool = True):
+        embs = self.forward(params, gdev, training=training, key=key)
+        u_all, i_all = embs[0], embs[1]
+        # reg on final embeddings (ego-reg code commented out, model/tgcn.py:243-246)
+        return base.bpr_with_reg(u_all, i_all, u_all, i_all, batch,
+                                 self.cfg.mul_loss_func, self.cfg.reg)
+
+    def transtag_loss(self, params, gdev, batch, *, key=None):
+        """(u, tag, i+, i-) margin loss on EGO embeddings (model/tgcn.py:251-261)."""
+        u, t, ip, ineg = batch[:, 0], batch[:, 1], batch[:, 2], batch[:, 3]
+        eu, ei, et = params["embed"]
+        ue = jnp.take(eu, u, axis=0)
+        te = jnp.take(et, t, axis=0)
+        pe = jnp.take(ei, ip, axis=0)
+        ne = jnp.take(ei, ineg, axis=0)
+        loss = losses.transtag_loss(ue, te, pe, ne, margin=self.cfg.margin)
+        reg = losses.l2reg_loss(ue, te, pe, ne)
+        return loss, self.cfg.transtag_reg * reg
+
+    def predict(self, params, gdev, users):
+        embs = self.forward(params, gdev, training=False)
+        return base.predict_sigmoid(jnp.take(embs[0], users, axis=0), embs[1])

@@ -1,0 +1,176 @@
+"""ELL (padded fixed-width) sparse representation — the framework's one graph format.
+
+TPU-first replacement for the reference's ``torch.sparse_coo_tensor`` +
+``torch.sparse.mm`` pipeline (model/help/adj.py:144-167): every node row stores
+a fixed-width, zero-padded array of neighbor column ids and edge values.  All
+downstream "sparse" operations (SpMM propagation, row softmax, per-edge routing,
+edge dropout) become dense gathers and masked reductions with static shapes —
+no scatter, no dynamic shapes, MXU/VPU friendly.
+
+The padding width is the max row degree rounded up to a lane-friendly multiple.
+For power-law graphs where max degree >> mean degree, use the row-bucketed
+variant (``build_ell_buckets``) which splits rows into degree buckets so padding
+waste stays bounded.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class Ell(NamedTuple):
+    """Device-side ELL adjacency block.
+
+    idx: [N, K] int32 — neighbor column ids (0-padded; use mask to ignore)
+    val: [N, K] float32 — edge values (0-padded)
+    deg: [N]    int32  — true number of neighbors per row
+    """
+
+    idx: jnp.ndarray
+    val: jnp.ndarray
+    deg: jnp.ndarray
+
+
+class EllHost(NamedTuple):
+    idx: np.ndarray
+    val: np.ndarray
+    deg: np.ndarray
+    n_cols: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if x > 0 else m
+
+
+def build_ell(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+              n_rows: int, n_cols: int, pad_multiple: int = 8,
+              width: int | None = None) -> EllHost:
+    """Pack row-sorted COO edges into padded [N, K] tables (host, numpy).
+
+    K = max row degree rounded up to ``pad_multiple`` (or the explicit
+    ``width``).  Padding slots have idx 0 / val 0; ``deg`` records validity.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    order = np.argsort(row, kind="stable")
+    row, col, val = row[order], np.asarray(col)[order], np.asarray(val)[order]
+    deg = np.bincount(row, minlength=n_rows).astype(np.int32)
+    k = int(deg.max()) if len(deg) and deg.max() > 0 else 1
+    k = _round_up(k, pad_multiple)
+    if width is not None:
+        assert width >= k or width >= int(deg.max()), "explicit width too small"
+        k = width
+    idx = np.zeros((n_rows, k), dtype=np.int32)
+    v = np.zeros((n_rows, k), dtype=np.float32)
+    # slot position of each edge within its row
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    slot = np.arange(len(row)) - starts[row]
+    idx[row, slot] = col.astype(np.int32)
+    v[row, slot] = val.astype(np.float32)
+    return EllHost(idx=idx, val=v, deg=deg, n_cols=n_cols)
+
+
+def ell_from_coo(coo, pad_multiple: int = 8, width: int | None = None) -> EllHost:
+    """Build an EllHost from a data.graph.COO (duplicates already summed)."""
+    return build_ell(coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1],
+                     pad_multiple=pad_multiple, width=width)
+
+
+def to_device(h: EllHost) -> Ell:
+    return Ell(idx=jnp.asarray(h.idx), val=jnp.asarray(h.val),
+               deg=jnp.asarray(h.deg))
+
+
+def ell_mask(ell: Ell) -> jnp.ndarray:
+    """[N, K] bool — True on valid (non-pad) slots."""
+    k = ell.idx.shape[1]
+    return jnp.arange(k, dtype=jnp.int32)[None, :] < ell.deg[:, None]
+
+
+# --------------------------------------------------------------------------
+# Degree-bucketed ELL: split rows into buckets by degree so a handful of hub
+# rows don't inflate K for everyone.  Each bucket is a standalone ELL over a
+# subset of rows; results are scattered back by row id (a cheap dense
+# concatenate + permutation, not a scatter-add).
+# --------------------------------------------------------------------------
+
+class EllBucketsHost(NamedTuple):
+    buckets: List[EllHost]       # per-bucket tables over bucket-local rows
+    rows: List[np.ndarray]       # global row ids per bucket
+    inv_perm: np.ndarray         # [N] — concat(bucket outputs)[inv_perm] is row-ordered
+    n_rows: int
+    n_cols: int
+
+
+class EllBuckets(NamedTuple):
+    """Device-side bucketed ELL: tuple of Ell parts + reassembly permutation.
+
+    Static pytree structure (bucket count/widths fixed at trace time); the
+    reassembly is a gather, never a scatter.
+    """
+
+    parts: tuple
+    inv_perm: jnp.ndarray
+
+
+def auto_boundaries(deg: np.ndarray,
+                    quantiles=(0.5, 0.9, 0.99)) -> Tuple[int, ...]:
+    """Degree-quantile bucket boundaries (deduped, increasing)."""
+    pos = deg[deg > 0]
+    if len(pos) == 0:
+        return ()
+    qs = sorted({int(np.quantile(pos, q)) for q in quantiles})
+    mx = int(pos.max())
+    return tuple(q for q in qs if 0 < q < mx)
+
+
+def build_ell_buckets(row, col, val, n_rows: int, n_cols: int,
+                      boundaries: Tuple[int, ...] | None = None,
+                      pad_multiple: int = 8) -> EllBucketsHost:
+    """Bucket rows by degree at the given boundaries, ELL-pack each bucket.
+
+    With ``boundaries=None`` they are derived from degree quantiles, bounding
+    padding waste on power-law graphs where max degree >> mean degree.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    deg = np.bincount(row, minlength=n_rows)
+    order = np.argsort(row, kind="stable")
+    row_s = row[order]
+    col_s = np.asarray(col)[order]
+    val_s = np.asarray(val)[order]
+
+    if boundaries is None:
+        boundaries = auto_boundaries(deg)
+    bounds = list(boundaries) + [max(int(deg.max()), 1)]
+
+    lo = -1  # first bucket includes deg-0 rows
+    buckets, rows_list = [], []
+    for b in bounds:
+        sel = np.where((deg > lo) & (deg <= b))[0]
+        lo = b
+        if len(sel) == 0:
+            continue
+        sel_mask = np.zeros(n_rows, dtype=bool)
+        sel_mask[sel] = True
+        e_mask = sel_mask[row_s]
+        local_of = np.full(n_rows, -1, dtype=np.int64)
+        local_of[sel] = np.arange(len(sel))
+        h = build_ell(local_of[row_s[e_mask]], col_s[e_mask], val_s[e_mask],
+                      len(sel), n_cols, pad_multiple=pad_multiple)
+        buckets.append(h)
+        rows_list.append(sel)
+        if b >= deg.max():
+            break
+    perm = np.concatenate(rows_list)
+    inv_perm = np.empty(n_rows, dtype=np.int64)
+    inv_perm[perm] = np.arange(n_rows)
+    return EllBucketsHost(buckets=buckets, rows=rows_list, inv_perm=inv_perm,
+                          n_rows=n_rows, n_cols=n_cols)
+
+
+def buckets_to_device(h: EllBucketsHost) -> EllBuckets:
+    return EllBuckets(parts=tuple(to_device(b) for b in h.buckets),
+                      inv_perm=jnp.asarray(h.inv_perm))

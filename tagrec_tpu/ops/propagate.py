@@ -1,0 +1,122 @@
+"""Graph propagation primitives over the ELL format.
+
+``ell_mm`` is the universal propagation kernel — the TPU-native successor of the
+reference's ``split_mm``/``torch.sparse.mm`` (model/help/adj.py:158-167).  It
+lowers to one dense gather + a weighted reduction, which XLA fuses and tiles;
+``coo_spmm`` (gather + segment_sum) is kept as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tagrec_tpu.ops.ell import Ell, EllBuckets, ell_mask
+
+
+def coo_spmm(row: jnp.ndarray, col: jnp.ndarray, val: jnp.ndarray,
+             x: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """Oracle SpMM: out[r] = sum_{e: row[e]=r} val[e] * x[col[e]]."""
+    gathered = jnp.take(x, col, axis=0) * val[:, None]
+    return jax.ops.segment_sum(gathered, row, num_segments=n_rows)
+
+
+def ell_mm(ell: Ell, x: jnp.ndarray, row_chunk: int | None = None) -> jnp.ndarray:
+    """Dense ELL SpMM: out[n] = sum_k val[n,k] * x[idx[n,k]].
+
+    Padding slots have val 0, so no mask is needed.  ``row_chunk`` bounds the
+    [chunk, K, D] gather intermediate for very large graphs; XLA fuses the
+    gather + multiply + sum either way.
+    """
+    if row_chunk is None or ell.idx.shape[0] <= row_chunk:
+        return jnp.einsum("nk,nkd->nd", ell.val, jnp.take(x, ell.idx, axis=0))
+
+    n = ell.idx.shape[0]
+    pad = (-n) % row_chunk
+    idx = jnp.pad(ell.idx, ((0, pad), (0, 0)))
+    val = jnp.pad(ell.val, ((0, pad), (0, 0)))
+    idx = idx.reshape(-1, row_chunk, idx.shape[1])
+    val = val.reshape(-1, row_chunk, val.shape[1])
+
+    def body(c):
+        ci, cv = c
+        return jnp.einsum("nk,nkd->nd", cv, jnp.take(x, ci, axis=0))
+
+    out = jax.lax.map(body, (idx, val))
+    return out.reshape(-1, x.shape[1])[:n]
+
+
+def ell_buckets_mm(eb: EllBuckets, x: jnp.ndarray) -> jnp.ndarray:
+    """Bucketed ELL SpMM: per-bucket dense gather+reduce, then one gather to
+    restore row order (no scatter)."""
+    outs = [ell_mm(p, x) for p in eb.parts]
+    return jnp.take(jnp.concatenate(outs, axis=0), eb.inv_perm, axis=0)
+
+
+def adj_mm(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Propagate with either a single Ell or an EllBuckets adjacency."""
+    if isinstance(adj, EllBuckets):
+        return ell_buckets_mm(adj, x)
+    return ell_mm(adj, x)
+
+
+def ell_softmax(ell: Ell, scores: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise masked softmax over ELL slots — the dense replacement for
+    ``torch.sparse.softmax(adj, dim=1)`` (model/kgat.py:97, model/disenhan.py:49).
+
+    ``scores``: [N, K] per-slot logits.  Padding slots get probability 0.
+    Rows with zero valid slots return all-zero rows.
+    """
+    mask = ell_mask(ell)
+    neg = jnp.finfo(scores.dtype).min
+    masked = jnp.where(mask, scores, neg)
+    m = jnp.max(masked, axis=1, keepdims=True)
+    e = jnp.exp(masked - jax.lax.stop_gradient(m)) * mask
+    s = jnp.sum(e, axis=1, keepdims=True)
+    return e / jnp.where(s == 0, 1.0, s)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Row L2 normalize matching torch.nn.functional.normalize (clamp-min eps).
+
+    Formulated via a clamped squared-norm so the gradient at exactly-zero rows
+    (isolated nodes after propagation) is 0 rather than NaN — jnp.linalg.norm
+    has a NaN gradient at 0.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / n
+
+
+def edge_dropout(adj, keep_prob_complement: float, key, training: bool):
+    """Edge dropout over ELL values (reference ``node_drop``,
+    model/help/adj.py:170-191: drop each edge w.p. ``keep_prob_complement`` —
+    the reference's misnamed knob — and rescale survivors by 1/keep).
+    Accepts a single Ell or an EllBuckets.
+    """
+    if not training or keep_prob_complement == 0.0:
+        return adj
+    keep = 1.0 - keep_prob_complement
+
+    def drop_one(ell: Ell, k) -> Ell:
+        u = jax.random.uniform(k, ell.val.shape)
+        mask = (u + keep).astype(jnp.int32).astype(ell.val.dtype)  # floor ∈ {0,1}
+        return Ell(idx=ell.idx, val=ell.val * mask / keep, deg=ell.deg)
+
+    if isinstance(adj, EllBuckets):
+        keys = jax.random.split(key, len(adj.parts))
+        return EllBuckets(parts=tuple(drop_one(p, k)
+                                      for p, k in zip(adj.parts, keys)),
+                          inv_perm=adj.inv_perm)
+    return drop_one(adj, key)
+
+
+def message_dropout(x: jnp.ndarray, rate: float, key, training: bool) -> jnp.ndarray:
+    """Inverted dropout matching torch.nn.functional.dropout semantics."""
+    if not training or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

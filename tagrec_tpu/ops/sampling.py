@@ -1,0 +1,117 @@
+"""On-device sampling — replaces the reference's CPU worker-pool rejection loops.
+
+The reference samples negatives by host-side rejection in a multiprocessing
+pool (train_data/utils.py:19-40, train_data/bpr_training_data.py:29-45).  Here
+the positive sets live on device as a padded table and negatives are drawn
+uniformly with a fixed number of masked re-draw rounds — after R rounds the
+residual collision probability is (density)^R, negligible for CF densities,
+and the shapes stay static for jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class PosTable(NamedTuple):
+    """Padded per-head positive-id table.
+
+    table: [H, P] int32, padded with ``n_ids`` (an out-of-range sentinel that
+           can never collide with a candidate draw)
+    deg:   [H] int32 — number of valid entries per head
+    n_ids: [] int32 — size of the candidate id space
+    """
+
+    table: jnp.ndarray
+    deg: jnp.ndarray
+    n_ids: jnp.ndarray
+
+
+def build_pos_table(pos_dict: Dict[int, List[int]], n_heads: int, n_ids: int,
+                    pad_multiple: int = 8) -> PosTable:
+    """Host build of the padded positive table from a {head: ids} dict."""
+    deg = np.zeros(n_heads, dtype=np.int32)
+    for h, ids in pos_dict.items():
+        deg[h] = len(ids)
+    p = int(deg.max()) if n_heads and deg.max() > 0 else 1
+    p = ((p + pad_multiple - 1) // pad_multiple) * pad_multiple
+    table = np.full((n_heads, p), n_ids, dtype=np.int32)
+    for h, ids in pos_dict.items():
+        table[h, : len(ids)] = ids
+    return PosTable(table=jnp.asarray(table), deg=jnp.asarray(deg),
+                    n_ids=jnp.asarray(n_ids, dtype=jnp.int32))
+
+
+def contains(pt: PosTable, heads: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
+    """[B] bool — is cand[b] among head[b]'s positives."""
+    rows = jnp.take(pt.table, heads, axis=0)          # [B, P]
+    return jnp.any(rows == cand[:, None], axis=1)
+
+
+def sample_negatives(key, pt: PosTable, heads: jnp.ndarray,
+                     rounds: int = 16) -> jnp.ndarray:
+    """Uniform negatives outside each head's positive set (masked re-draw)."""
+    b = heads.shape[0]
+    rows = jnp.take(pt.table, heads, axis=0)          # [B, P]
+
+    def draw(k):
+        return jax.random.randint(k, (b,), 0, pt.n_ids, dtype=jnp.int32)
+
+    def body(i, carry):
+        cand, k = carry
+        k, sub = jax.random.split(k)
+        bad = jnp.any(rows == cand[:, None], axis=1)
+        cand = jnp.where(bad, draw(sub), cand)
+        return cand, k
+
+    key, sub = jax.random.split(key)
+    cand = draw(sub)
+    cand, _ = jax.lax.fori_loop(0, rounds, body, (cand, key))
+    return cand
+
+
+def sample_positive(key, pt: PosTable, heads: jnp.ndarray) -> jnp.ndarray:
+    """One uniformly-chosen positive id per head (train_data/utils.py:66-67)."""
+    b = heads.shape[0]
+    deg = jnp.maximum(jnp.take(pt.deg, heads), 1)
+    j = jax.random.randint(key, (b,), 0, jnp.iinfo(jnp.int32).max) % deg
+    rows = jnp.take(pt.table, heads, axis=0)
+    return jnp.take_along_axis(rows, j[:, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+class TripleTable(NamedTuple):
+    """(head, relation)-keyed positive-tail table for TransE-style sampling.
+
+    Keys are flattened ``head * n_rel + rel``; used by the KGAT TransE and TGCN
+    TransTag phases (train_data/transe_training_data.py) where corrupted tails
+    must avoid the observed (h, r, *) set.
+    """
+
+    table: jnp.ndarray  # [n_keys_padded?, P] — dense over keys actually present
+    key_of: jnp.ndarray  # map flat key -> row in table (or -1)
+    deg: jnp.ndarray
+    n_ids: jnp.ndarray
+
+
+def build_triple_table(triples: np.ndarray, n_rel: int, n_ids: int,
+                       pad_multiple: int = 8):
+    """Host build from [T, 3] (h, r, t) triples -> PosTable keyed by h*n_rel+r.
+
+    Returns (PosTable, flat_key array for the triples) so callers can sample
+    corrupted tails per observed triple.
+    """
+    h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+    flat = h.astype(np.int64) * n_rel + r.astype(np.int64)
+    pos: Dict[int, List[int]] = {}
+    for k, tail in zip(flat, t):
+        pos.setdefault(int(k), []).append(int(tail))
+    uniq = sorted(pos)
+    remap = {k: i for i, k in enumerate(uniq)}
+    compact = {remap[k]: v for k, v in pos.items()}
+    pt = build_pos_table(compact, len(uniq), n_ids, pad_multiple)
+    triple_keys = np.asarray([remap[int(k)] for k in flat], dtype=np.int32)
+    return pt, triple_keys

@@ -1,0 +1,219 @@
+"""Multi-phase training driver with whole-epoch jit'd scans.
+
+Capability-equivalent of Basic_train/epoch_training
+(training/basic_train.py:10-85): each epoch runs its training phases in
+sequence (1 phase for CF models; BPR + TransE/TransTag for KGAT/TGCN, all
+phases stepping ONE shared Adam state — com.py:68-73,80-86), evaluates every
+``test_interval`` epochs, early-stops on patience.
+
+TPU-first differences from the reference:
+* An epoch is ONE jit'd ``lax.scan`` over steps — sampling (shuffle, negative
+  draws) happens on device inside the scan; there is no host<->device traffic
+  inside an epoch.
+* Batches have static shapes: steps = E // batch and the remainder is dropped
+  (the reference instead merges the short tail into the previous batch,
+  train_data/abstract.py:17-23 — a documented deviation of < one batch of
+  coverage per epoch, with fresh shuffling each epoch).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from tagrec_tpu.config import TrainConfig
+from tagrec_tpu.ops import sampling
+
+
+@dataclass
+class PhaseSpec:
+    """One training phase: how to produce batches and score them.
+
+    epoch_reset(key)              -> epoch_data pytree (device), e.g. a shuffled
+                                     edge table; traced under jit.
+    make_batch(key, i, epoch_data)-> batch pytree for step i; traced.
+    loss_fn(params, batch, key)   -> tuple of scalar loss terms (summed for the
+                                     gradient; parts logged separately, like
+                                     training/basic_train.py:15-17).
+    """
+
+    name: str
+    steps_per_epoch: int
+    epoch_reset: Callable
+    make_batch: Callable
+    loss_fn: Callable
+
+
+def bpr_phase(name: str, edges: np.ndarray, pos_table: sampling.PosTable,
+              batch: int, loss_fn, neg_rounds: int = 16) -> PhaseSpec:
+    """Standard BPR phase over all train interactions
+    (BPR_training_data semantics, train_data/bpr_training_data.py:12-45):
+    per epoch shuffle every (u, i+) pair, pair each with one uniform negative
+    outside the user's positive set."""
+    edges_dev = jnp.asarray(edges, dtype=jnp.int32)
+    batch = min(batch, len(edges))  # tiny datasets: one full batch
+    steps = max(len(edges) // batch, 1)
+
+    def epoch_reset(key):
+        perm = jax.random.permutation(key, edges_dev.shape[0])
+        return jnp.take(edges_dev, perm, axis=0)
+
+    def make_batch(key, i, shuffled):
+        sl = jax.lax.dynamic_slice(shuffled, (i * batch, 0), (batch, 2))
+        users, pos = sl[:, 0], sl[:, 1]
+        neg = sampling.sample_negatives(key, pos_table, users, rounds=neg_rounds)
+        return jnp.stack([users, pos, neg], axis=1)
+
+    return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
+                     make_batch=make_batch, loss_fn=loss_fn)
+
+
+def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTable,
+                     batch: int, steps: int, loss_fn,
+                     cor_sizes: Optional[Dict[str, int]] = None,
+                     neg_rounds: int = 16) -> PhaseSpec:
+    """DGCF-family phase (DGCF_training_data, train_data/bpr_training_data.py:47-84):
+    every step samples ``batch`` users, one positive and one negative each,
+    plus ``cor_batch`` correlation-sample ids per node type for the
+    distance-correlation regularizer."""
+    users_dev = jnp.asarray(user_ids, dtype=jnp.int32)
+    cor_sizes = cor_sizes or {}
+
+    def epoch_reset(key):
+        return jnp.zeros((), dtype=jnp.int32)  # stateless
+
+    def make_batch(key, i, _):
+        k_u, k_p, k_n, k_c = jax.random.split(key, 4)
+        sel = jax.random.randint(k_u, (batch,), 0, users_dev.shape[0])
+        users = jnp.take(users_dev, sel)
+        pos = sampling.sample_positive(k_p, pos_table, users)
+        neg = sampling.sample_negatives(k_n, pos_table, users, rounds=neg_rounds)
+        out = {"bpr": jnp.stack([users, pos, neg], axis=1)}
+        if cor_sizes:
+            cor_keys = jax.random.split(k_c, len(cor_sizes))
+            out["cor"] = {
+                name_: jax.random.randint(kk, (nb,), 0, hi)
+                for kk, (name_, (nb, hi)) in zip(cor_keys, cor_sizes.items())
+            }
+        return out
+
+    return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
+                     make_batch=make_batch, loss_fn=loss_fn)
+
+
+def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
+                 batch: int, loss_fn, neg_rounds: int = 16) -> PhaseSpec:
+    """TransE/TransTag phase: per epoch shuffle all (h, r, t) triples; per
+    batch sample a corrupted tail outside the observed (h, r, *) set
+    (train_data/transe_training_data.py:12-71).
+
+    Note: the reference KGAT sampler has an overlapping-prefix-window quirk
+    (train_data/transe_training_data.py:35-37, SURVEY quirk #5) that covers
+    only a prefix of the triples each epoch; here every epoch is a full
+    shuffled pass — a deliberate fix, flagged for parity comparisons.
+    """
+    if isinstance(n_rel_or_keys, int):
+        pt, keys = sampling.build_triple_table(triples, n_rel_or_keys, n_ids)
+    else:
+        pt, keys = n_rel_or_keys
+    trip_dev = jnp.asarray(triples, dtype=jnp.int32)
+    keys_dev = jnp.asarray(keys, dtype=jnp.int32)
+    batch = min(batch, len(triples))  # tiny datasets: one full batch
+    steps = max(len(triples) // batch, 1)
+
+    def epoch_reset(key):
+        perm = jax.random.permutation(key, trip_dev.shape[0])
+        return (jnp.take(trip_dev, perm, axis=0), jnp.take(keys_dev, perm))
+
+    def make_batch(key, i, state):
+        trips, tkeys = state
+        sl = jax.lax.dynamic_slice(trips, (i * batch, 0), (batch, 3))
+        ks = jax.lax.dynamic_slice(tkeys, (i * batch,), (batch,))
+        neg = sampling.sample_negatives(key, pt, ks, rounds=neg_rounds)
+        # (h, r, t+, t-)
+        return jnp.concatenate([sl, neg[:, None]], axis=1)
+
+    return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
+                     make_batch=make_batch, loss_fn=loss_fn)
+
+
+class Trainer:
+    """Runs phases over one shared optimizer state; see module docstring."""
+
+    def __init__(self, phases: List[PhaseSpec], cfg: TrainConfig,
+                 optimizer: Optional[optax.GradientTransformation] = None):
+        self.phases = phases
+        self.cfg = cfg
+        self.opt = optimizer or optax.adam(cfg.lr)
+        self._epoch_fns = {}
+
+    def init_opt_state(self, params):
+        return self.opt.init(params)
+
+    def _epoch_fn(self, phase: PhaseSpec):
+        if phase.name in self._epoch_fns:
+            return self._epoch_fns[phase.name]
+        opt = self.opt
+        steps = phase.steps_per_epoch
+
+        @jax.jit
+        def run_epoch(params, opt_state, key):
+            key, k_reset = jax.random.split(key)
+            epoch_data = phase.epoch_reset(k_reset)
+
+            def step(carry, i):
+                params, opt_state, key = carry
+                key, k_batch, k_loss = jax.random.split(key, 3)
+                batch = phase.make_batch(k_batch, i, epoch_data)
+
+                def total_loss(p):
+                    parts = phase.loss_fn(p, batch, k_loss)
+                    return sum(parts), jnp.stack(parts)
+
+                (_, parts), grads = jax.value_and_grad(
+                    total_loss, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, key), parts
+
+            (params, opt_state, key), parts = jax.lax.scan(
+                step, (params, opt_state, key), jnp.arange(steps))
+            return params, opt_state, key, parts
+
+        self._epoch_fns[phase.name] = run_epoch
+        return run_epoch
+
+    def run(self, params, key, evaluator, model, gdev, early_stop,
+            log=print) -> Dict:
+        """Full training loop with periodic eval + early stopping
+        (Basic_train.run semantics, training/basic_train.py:60-85)."""
+        cfg = self.cfg
+        opt_state = self.init_opt_state(params)
+        for ep in range(cfg.epochs):
+            for phase in self.phases:
+                t0 = time.time()
+                fn = self._epoch_fn(phase)
+                params, opt_state, key, parts = fn(params, opt_state, key)
+                parts = np.asarray(parts)
+                log(f"[Epoch:{ep}][{phase.name}][{time.time()-t0:.2f}s] "
+                    f"avg_loss: {parts.sum(axis=1).mean():.5f} "
+                    f"parts_sum: {list(parts.sum(axis=0))}")
+
+            if ep % cfg.test_interval == 0:
+                t0 = time.time()
+                results = evaluator.run(model, params, gdev)
+                log(f"[Epoch {ep}][eval {time.time()-t0:.2f}s] {results}")
+                if early_stop(params, results, ep):
+                    log(f"early stop trigger at epoch {ep}")
+                    break
+
+        log(f"best result [{early_stop.best_epoch}:{early_stop.best_result}]")
+        return {"params": params, "opt_state": opt_state,
+                "best_epoch": early_stop.best_epoch,
+                "best_result": early_stop.best_result}

@@ -1,0 +1,36 @@
+"""Test configuration: force CPU with 8 virtual devices (multi-chip simulation).
+
+The image's sitecustomize pre-imports jax and registers the axon (TPU) PJRT
+backend in every interpreter, and JAX_PLATFORMS=axon is latched into
+jax.config at that import — so env vars alone are too late here.  We override
+through jax.config before any backend is initialized.  (SURVEY.md §4: CPU
+multi-device simulation is the fake-backend equivalent for testing sharding
+logic without a TPU pod.)
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def tiny_graph():
+    """Small deterministic synthetic graph shared across tests."""
+    from tagrec_tpu.data.synthetic import synthetic_graph
+
+    return synthetic_graph(n_user=40, n_item=90, n_tag=25, avg_deg=8, seed=7)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

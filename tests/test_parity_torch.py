@@ -1,0 +1,291 @@
+"""Golden trajectory parity: identical init + identical batches =>
+tagrec_tpu (jax) and the torch mirrors of the reference semantics must produce
+matching loss trajectories under Adam.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from tagrec_tpu.config import model_preset
+from tagrec_tpu.models.dgcf import DGCF
+from tagrec_tpu.models.disengcn import DisenGCN
+from tagrec_tpu.models.lightgcn import LightGCN
+from tagrec_tpu.models.ngcf import NGCF
+
+import torch_mirrors as TM
+
+
+def fixed_batches(graph, n_batches=4, batch=48, seed=123):
+    rng = np.random.default_rng(seed)
+    train = graph.user_items["train"]
+    users = sorted(train.keys())
+    out = []
+    for _ in range(n_batches):
+        u = rng.choice(users, batch)
+        p = np.array([rng.choice(train[x]) for x in u])
+        n = []
+        for x in u:
+            while True:
+                j = rng.integers(0, graph.n_item)
+                if j not in train[x]:
+                    n.append(j)
+                    break
+        out.append(np.stack([u, p, np.array(n)], axis=1).astype(np.int64))
+    return out
+
+
+def run_jax(model, params, gdev, batches, lr=0.01, loss_extract=None):
+    opt = optax.adam(lr)
+    state = opt.init(params)
+    losses = []
+
+    @jax.jit
+    def step(params, state, batch):
+        def total(p):
+            parts = model.bpr_loss(p, gdev, batch, key=jax.random.PRNGKey(0),
+                                   training=True)
+            return sum(parts)
+
+        loss, grads = jax.value_and_grad(total)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    for b in batches:
+        params, state, loss = step(params, state, jnp.asarray(b, jnp.int32))
+        losses.append(float(loss))
+    return losses
+
+
+def run_torch(mirror, batches, lr=0.01):
+    opt = torch.optim.Adam(mirror.parameters(), lr=lr)
+    losses = []
+    for b in batches:
+        loss = mirror.loss(b)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
+
+
+def assert_trajectories_close(ours, ref, rtol=2e-3):
+    ours, ref = np.asarray(ours), np.asarray(ref)
+    np.testing.assert_allclose(ours[0], ref[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ours, ref, rtol=rtol, atol=1e-4)
+
+
+def test_lightgcn_parity(tiny_graph):
+    cfg = model_preset("lightgcn", reg=1e-4)
+    model = LightGCN(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph)
+    mirror = TM.TorchLightGCN(tiny_graph,
+                              [np.asarray(e) for e in params["embed"]],
+                              reg=1e-4)
+    assert_trajectories_close(run_jax(model, params, gdev, batches),
+                              run_torch(mirror, batches))
+
+
+def test_ngcf_parity(tiny_graph):
+    cfg = model_preset("ngcf", reg=1e-4)
+    model = NGCF(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph, seed=7)
+    mirror = TM.TorchNGCF(tiny_graph,
+                          [np.asarray(e) for e in params["embed"]],
+                          {k: np.asarray(v) for k, v in params["mat"].items()},
+                          reg=1e-4)
+    assert_trajectories_close(run_jax(model, params, gdev, batches),
+                              run_torch(mirror, batches))
+
+
+def test_dgcf_parity(tiny_graph):
+    cfg = model_preset("dgcf")
+    model = DGCF(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph, n_batches=3, seed=9)
+    mirror = TM.TorchDGCF(tiny_graph, [np.asarray(e) for e in params["embed"]])
+
+    # reference reg is on ego embeddings with reg=0 default; compare pure BPR
+    def jax_losses():
+        opt = optax.adam(0.01)
+        state = opt.init(params)
+        p = params
+        out = []
+
+        @jax.jit
+        def step(p, state, batch):
+            def total(q):
+                parts = model.bpr_loss(q, gdev, batch,
+                                       key=jax.random.PRNGKey(0))
+                return parts[0]  # pure BPR (reg=0 default anyway)
+
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        for b in batches:
+            p, state, loss = step(p, state, jnp.asarray(b, jnp.int32))
+            out.append(float(loss))
+        return out
+
+    assert_trajectories_close(jax_losses(), run_torch(mirror, batches),
+                              rtol=5e-3)
+
+
+def test_disengcn_parity(tiny_graph):
+    cfg = model_preset("disengcn")
+    model = DisenGCN(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph, n_batches=3, seed=11)
+    mirror = TM.TorchDisenGCN(
+        tiny_graph, [np.asarray(e) for e in params["embed"]],
+        [{k: np.asarray(v) for k, v in lp.items()}
+         for lp in params["layers"]])
+
+    def jax_losses():
+        opt = optax.adam(0.01)
+        state = opt.init(params)
+        p = params
+        out = []
+
+        @jax.jit
+        def step(p, state, batch):
+            def total(q):
+                parts = model.bpr_loss(q, gdev, batch,
+                                       key=jax.random.PRNGKey(0))
+                return parts[0]
+
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        for b in batches:
+            p, state, loss = step(p, state, jnp.asarray(b, jnp.int32))
+            out.append(float(loss))
+        return out
+
+    assert_trajectories_close(jax_losses(), run_torch(mirror, batches),
+                              rtol=5e-3)
+
+
+def test_disenhan_parity(tiny_graph):
+    from tagrec_tpu.models.disenhan import DisenHAN
+
+    cfg = model_preset("disenhan")
+    model = DisenHAN(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(4))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph, n_batches=3, seed=13)
+    mirror = TM.TorchDisenHAN(
+        tiny_graph, [np.asarray(e) for e in params["embed"]],
+        [{k: np.asarray(v) for k, v in lp.items()}
+         for lp in params["layers"]])
+
+    def jax_losses():
+        opt = optax.adam(0.01)
+        state = opt.init(params)
+        p = params
+        out = []
+
+        @jax.jit
+        def step(p, state, batch):
+            def total(q):
+                return model.bpr_loss(q, gdev, batch,
+                                      key=jax.random.PRNGKey(0))[0]
+
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        for b in batches:
+            p, state, loss = step(p, state, jnp.asarray(b, jnp.int32))
+            out.append(float(loss))
+        return out
+
+    assert_trajectories_close(jax_losses(), run_torch(mirror, batches),
+                              rtol=5e-3)
+
+
+def test_kgat_transe_parity(tiny_graph):
+    from tagrec_tpu.models.kgat import KGAT
+
+    cfg = model_preset("kgat", cor_reg=1e-4)
+    model = KGAT(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    gdev = model.device_data()
+    # fixed TransE batches over the 6 relations
+    rng = np.random.default_rng(17)
+    rel = tiny_graph.relation_edges()
+    trips = np.concatenate([
+        np.stack([rel[k][0], np.full(rel[k].shape[1], k), rel[k][1]], axis=1)
+        for k in range(6)])
+    n_ids = tiny_graph.n_user + tiny_graph.n_item + tiny_graph.n_tag
+    batches = []
+    for _ in range(3):
+        sel = rng.integers(0, len(trips), 64)
+        neg = rng.integers(0, n_ids, 64)
+        batches.append(np.concatenate([trips[sel], neg[:, None]],
+                                      axis=1).astype(np.int64))
+
+    mirror = TM.TorchKGATTransE(np.asarray(params["user"]),
+                                np.asarray(params["entity"]),
+                                np.asarray(params["relation"]),
+                                np.asarray(params["transE"]), cor_reg=1e-4)
+
+    def jax_losses():
+        opt = optax.adam(0.01)
+        state = opt.init(params)
+        p = params
+        out = []
+
+        @jax.jit
+        def step(p, state, batch):
+            def total(q):
+                return sum(model.transe_loss(q, gdev, batch))
+
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        for b in batches:
+            p, state, loss = step(p, state, jnp.asarray(b, jnp.int32))
+            out.append(float(loss))
+        return out
+
+    assert_trajectories_close(jax_losses(), run_torch(mirror, batches),
+                              rtol=5e-3)
+
+
+def test_tgcn_parity(tiny_graph):
+    from tagrec_tpu.models.tgcn import TGCN
+
+    cfg = model_preset("tgcn", reg=1e-4)
+    model = TGCN(tiny_graph, cfg)  # static tables (quirk #6 parity mode)
+    params = model.init(jax.random.PRNGKey(6))
+    gdev = model.device_data()
+    batches = fixed_batches(tiny_graph, n_batches=3, seed=19)
+    tables = {k: (np.asarray(i), np.asarray(w))
+              for k, (i, w) in gdev.items()}
+    layer_np = []
+    for lp in params["layers"]:
+        d = {"atten1": {t: {kk: np.asarray(vv) for kk, vv in ap.items()}
+                        for t, ap in lp["atten1"].items()}}
+        for k in ("U", "q", "p", "bit", "Wf", "bf"):
+            d[k] = np.asarray(lp[k])
+        d["vec"] = [np.asarray(v) for v in lp["vec"]]
+        layer_np.append(d)
+    mirror = TM.TorchTGCN([np.asarray(e) for e in params["embed"]],
+                          np.asarray(params["weight"]), layer_np, tables,
+                          reg=1e-4)
+
+    assert_trajectories_close(run_jax(model, params, gdev, batches),
+                              run_torch(mirror, batches), rtol=5e-3)
