@@ -49,8 +49,8 @@ def bench_tpu(graph, batch=512, steps=100):
                                   graph.n_item)
     edges = graph.edge_index["train"]
 
-    def loss_fn(p, b, key):
-        return model.bpr_loss(p, gdev, b, key=key)
+    def loss_fn(p, g, b, key):
+        return model.bpr_loss(p, g, b, key=key)
 
     phase = bpr_phase("bpr", edges, pt, batch, loss_fn)
     # Cap the scanned epoch at `steps` steps for timing.
@@ -61,12 +61,16 @@ def bench_tpu(graph, batch=512, steps=100):
 
     key = jax.random.PRNGKey(1)
     # warmup + compile
-    p, o, key, parts = fn(params, opt_state, key)
-    jax.block_until_ready(parts)
+    p, o, key, parts = fn(params, opt_state, key, gdev, phase.data)
+    jax.block_until_ready((p, parts))
+    # Time several epochs and block on ALL outputs each iteration — remote
+    # (tunneled) backends can report single small outputs ready early.
+    reps = 3
     t0 = time.perf_counter()
-    p, o, key, parts = fn(p, o, key)
-    jax.block_until_ready(parts)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        p, o, key, parts = fn(p, o, key, gdev, phase.data)
+        jax.block_until_ready((p, parts))
+    dt = (time.perf_counter() - t0) / reps
     n_steps = phase.steps_per_epoch
     return batch * n_steps / dt, dt / n_steps
 

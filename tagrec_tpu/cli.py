@@ -23,6 +23,7 @@ from tagrec_tpu.data.synthetic import synthetic_graph
 from tagrec_tpu.training import checkpoint
 from tagrec_tpu.training.early_stop import EarlyStop
 from tagrec_tpu.training.train import Trainer
+from tagrec_tpu.utils import MetricsWriter, printc
 
 
 def parse_args(argv=None):
@@ -87,18 +88,24 @@ def main(argv=None):
     params = pipe.model.init(k_init)
 
     ckpt_path = os.path.join(out_dir, "model.npz")
+    metrics = MetricsWriter(out_dir)
+    metrics.text("config", json.dumps({"model": mcfg.__dict__,
+                                       "train": tcfg.__dict__}, default=str))
     stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key, save_path=ckpt_path)
     trainer = Trainer(pipe.phases, tcfg)
-    trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop)
+    trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop,
+                metrics=metrics)
 
     # reload best checkpoint for the final report (main.py:24)
     best = checkpoint.load(ckpt_path, params) if os.path.exists(ckpt_path) \
         else stop.best_params
     results = pipe.evaluator.run(pipe.model, best, pipe.gdev, istest=True)
-    print(f"test result: {results}")
+    printc(f"test result: {results}")
     groups = pipe.evaluator.run(pipe.model, best, pipe.gdev, istest=True,
                                 group_k=args.group_k)
-    print(f"group result: {groups}")
+    printc(f"group result: {groups}")
+    metrics.text("final", json.dumps(results, default=float))
+    metrics.close()
 
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump({"test": results,

@@ -44,8 +44,8 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
     edges = graph.edge_index["train"]
     phases: List[PhaseSpec] = []
 
-    def bpr_loss_fn(params, batch, key):
-        return model.bpr_loss(params, gdev, batch, key=key)
+    def bpr_loss_fn(params, gdev_, batch, key):
+        return model.bpr_loss(params, gdev_, batch, key=key)
 
     if name in ("lightgcn", "ngcf", "kgat", "tgcn"):
         phases.append(bpr_phase("bpr", edges, pt, tcfg.train_batch, bpr_loss_fn,
@@ -61,8 +61,8 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
         if mcfg.use_tag and graph.has_tags:
             cor_sizes["tag"] = (mcfg.cor_batch, graph.n_tag)
 
-        def dgcf_loss_fn(params, batch, key):
-            return model.bpr_loss(params, gdev, batch["bpr"], key=key,
+        def dgcf_loss_fn(params, gdev_, batch, key):
+            return model.bpr_loss(params, gdev_, batch["bpr"], key=key,
                                   cor=batch.get("cor"))
 
         phases.append(resampling_phase("bpr", user_ids, pt, tcfg.train_batch,
@@ -81,8 +81,8 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
             for k in sorted(rel)])
         n_ids = graph.n_user + graph.n_item + graph.n_tag
 
-        def transe_loss_fn(params, batch, key):
-            return model.transe_loss(params, gdev, batch, key=key)
+        def transe_loss_fn(params, gdev_, batch, key):
+            return model.transe_loss(params, gdev_, batch, key=key)
 
         phases.append(triple_phase("transe", trips, 6, n_ids,
                                    mcfg.transe_batch, transe_loss_fn,
@@ -93,8 +93,8 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
         # (TransTag_training_data, train_data/transe_training_data.py:42-71).
         uti = graph.uit_data[:, [0, 2, 1]].astype(np.int64)
 
-        def transtag_loss_fn(params, batch, key):
-            return model.transtag_loss(params, gdev, batch, key=key)
+        def transtag_loss_fn(params, gdev_, batch, key):
+            return model.transtag_loss(params, gdev_, batch, key=key)
 
         phases.append(triple_phase("transtag", uti, graph.n_tag, graph.n_item,
                                    mcfg.transtag_batch, transtag_loss_fn,

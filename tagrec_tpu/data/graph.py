@@ -179,11 +179,22 @@ class HeteroGraph:
         Entity counts are max-id-over-all-splits + 1 (data/cf_load.py:23,
         data/tgcn_load.py:19).
         """
+        from tagrec_tpu import runtime
+
+        def read_split(path):
+            # native parse -> dedup -> {user: sorted items} (set semantics of
+            # data/utils.py:23-46)
+            pairs = np.unique(runtime.parse_interaction_pairs(path), axis=0)
+            out: Dict[int, List[int]] = {}
+            for u, i in pairs:
+                out.setdefault(int(u), []).append(int(i))
+            return out
+
         d = data_io.dataset_dir(data_root, dataset)
-        user_items = {"train": data_io.read_interaction_file(os.path.join(d, "train.txt"))}
+        user_items = {"train": read_split(os.path.join(d, "train.txt"))}
         if has_val:
-            user_items["val"] = data_io.read_interaction_file(os.path.join(d, "val.txt"))
-        user_items["test"] = data_io.read_interaction_file(os.path.join(d, "test.txt"))
+            user_items["val"] = read_split(os.path.join(d, "val.txt"))
+        user_items["test"] = read_split(os.path.join(d, "test.txt"))
 
         max_u, max_i = 0, 0
         for ui in user_items.values():
@@ -199,7 +210,9 @@ class HeteroGraph:
         ut_adj = it_adj = None
         uit = None
         if use_tag:
-            uit = data_io.read_triple_file(os.path.join(d, "user_item_tag.txt"))
+            uit = np.unique(
+                runtime.parse_triples(os.path.join(d, "user_item_tag.txt")),
+                axis=0)
             num["tag"] = int(uit[:, 2].max()) + 1
             ut_adj = COO.from_edges(uit[:, 0], uit[:, 2], (num["user"], num["tag"]))
             it_adj = COO.from_edges(uit[:, 1], uit[:, 2], (num["item"], num["tag"]))
@@ -237,6 +250,22 @@ class HeteroGraph:
         else:
             adj = joint_adjacency(self.ui_adj)
         return normalize_adj(adj, norm_type).sorted_by_row()
+
+    def summary(self) -> Dict[str, object]:
+        """Load-time invariant stats — the schema checks the reference prints
+        on every load (data/utils.py:109-129 column_info/dict_info)."""
+        out = {"num": dict(self.num), "train_pairs": self.ui_adj.nnz,
+               "max_multiplicity": self.ui_adj.max()}
+        for split, d in self.user_items.items():
+            e = self.edge_index[split]
+            if len(e):
+                out[split] = {"users": len(d), "pairs": len(e),
+                              "item_range": (int(e[:, 1].min()),
+                                             int(e[:, 1].max()))}
+        if self.uit_data is not None:
+            out["uit"] = {"triples": len(self.uit_data),
+                          "tags": int(self.uit_data[:, 2].max()) + 1}
+        return out
 
     def relation_edges(self) -> Dict[int, np.ndarray]:
         """Six globally-indexed directed relations [ui, iu, ut, tu, it, ti],

@@ -31,13 +31,14 @@ class LightGCN:
             [graph.n_tag] if use_tag else [])
         self.per_layer_normalize = per_layer_normalize
         coo = graph.joint_norm_adj(cfg.norm_type, use_tag)
-        # degree-bucketed ELL keeps padding bounded on power-law graphs
-        self._adj_host = ell_lib.build_ell_buckets(
-            coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1])
+        # degree-bucketed ELL (bounded padding on power-law graphs) with a
+        # transpose pair for the scatter-free custom-VJP backward
+        self._adj_host = ell_lib.build_adj_pair(
+            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"))
 
     # ------------------------------------------------------------------ data
     def device_data(self):
-        return {"adj": ell_lib.buckets_to_device(self._adj_host)}
+        return {"adj": ell_lib.adj_pair_to_device(self._adj_host)}
 
     # ------------------------------------------------------------------ init
     def init(self, key):

@@ -43,21 +43,15 @@ def _sample_neighbor_table(coo: COO, k: int, rng: np.random.Generator):
     Equivalent to taking the first k columns of the reference's max-degree
     tables (data/utils.py:87-106 + model/tgcn.py:197-199).
     """
+    from tagrec_tpu import runtime
+
     n = coo.shape[0]
-    idx = np.zeros((n, k), dtype=np.int32)
-    w = np.zeros((n, k), dtype=np.int32)
     order = np.argsort(coo.row, kind="stable")
     rows, cols, vals = coo.row[order], coo.col[order], coo.val[order]
-    deg = np.bincount(rows, minlength=n)
     starts = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(deg, out=starts[1:])
-    for i in range(n):
-        if deg[i] == 0:
-            continue
-        sel = rng.integers(0, deg[i], size=k)
-        idx[i] = cols[starts[i] + sel] + 1
-        w[i] = vals[starts[i] + sel].astype(np.int32)
-    return idx, w
+    np.cumsum(np.bincount(rows, minlength=n), out=starts[1:])
+    return runtime.neighbor_sample_csr(starts, cols, vals, k,
+                                       int(rng.integers(0, 2**63 - 1)))
 
 
 class TGCN:

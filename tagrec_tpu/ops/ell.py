@@ -117,7 +117,8 @@ class EllBuckets(NamedTuple):
 
 
 def auto_boundaries(deg: np.ndarray,
-                    quantiles=(0.5, 0.9, 0.99)) -> Tuple[int, ...]:
+                    quantiles=(0.25, 0.5, 0.75, 0.9, 0.97, 0.995)) \
+        -> Tuple[int, ...]:
     """Degree-quantile bucket boundaries (deduped, increasing)."""
     pos = deg[deg > 0]
     if len(pos) == 0:
@@ -174,3 +175,45 @@ def build_ell_buckets(row, col, val, n_rows: int, n_cols: int,
 def buckets_to_device(h: EllBucketsHost) -> EllBuckets:
     return EllBuckets(parts=tuple(to_device(b) for b in h.buckets),
                       inv_perm=jnp.asarray(h.inv_perm))
+
+
+class AdjPairHost(NamedTuple):
+    fwd: EllBucketsHost
+    bwd: EllBucketsHost  # transpose; shared with fwd when symmetric
+
+
+class AdjPair(NamedTuple):
+    """Forward + transpose bucketed adjacency.
+
+    Backs the custom-VJP SpMM (ops.propagate.pair_spmm): d/dx of A@x is A^T@g,
+    so the backward pass is another dense gather+reduce over the transpose
+    tables instead of XLA's scatter-add for grad-of-gather — the scatter-free
+    property is what makes ELL propagation fast on TPU in both directions.
+    """
+
+    fwd: EllBuckets
+    bwd: EllBuckets
+
+
+def build_adj_pair(coo, symmetric: bool = False,
+                   boundaries=None, pad_multiple: int = 8) -> AdjPairHost:
+    """Build fwd + transpose bucketed ELL from a COO (square or rectangular).
+
+    ``symmetric=True`` (valid for bi_norm/plain joint adjacencies, whose value
+    matrices are symmetric) shares the forward tables for the backward pass.
+    """
+    fwd = build_ell_buckets(coo.row, coo.col, coo.val, coo.shape[0],
+                            coo.shape[1], boundaries=boundaries,
+                            pad_multiple=pad_multiple)
+    if symmetric:
+        return AdjPairHost(fwd=fwd, bwd=fwd)
+    bwd = build_ell_buckets(coo.col, coo.row, coo.val, coo.shape[1],
+                            coo.shape[0], boundaries=boundaries,
+                            pad_multiple=pad_multiple)
+    return AdjPairHost(fwd=fwd, bwd=bwd)
+
+
+def adj_pair_to_device(h: AdjPairHost) -> AdjPair:
+    fwd = buckets_to_device(h.fwd)
+    bwd = fwd if h.bwd is h.fwd else buckets_to_device(h.bwd)
+    return AdjPair(fwd=fwd, bwd=bwd)

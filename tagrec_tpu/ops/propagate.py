@@ -13,7 +13,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tagrec_tpu.ops.ell import Ell, EllBuckets, ell_mask
+import numpy as np
+
+from tagrec_tpu.ops.ell import AdjPair, Ell, EllBuckets, ell_mask
 
 
 def coo_spmm(row: jnp.ndarray, col: jnp.ndarray, val: jnp.ndarray,
@@ -55,8 +57,42 @@ def ell_buckets_mm(eb: EllBuckets, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(jnp.concatenate(outs, axis=0), eb.inv_perm, axis=0)
 
 
+def _zero_cotangent(tree):
+    """Zero cotangents for a pytree of device arrays (float0 for ints)."""
+    def z(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return jnp.zeros_like(x)
+    return jax.tree_util.tree_map(z, tree)
+
+
+@jax.custom_vjp
+def pair_spmm(x: jnp.ndarray, fwd: EllBuckets, bwd: EllBuckets) -> jnp.ndarray:
+    """SpMM with a scatter-free backward: forward gathers via ``fwd``, the
+    cotangent propagates via the transpose tables ``bwd`` (d(A@x)/dx = A^T g).
+    The adjacency is treated as a constant (zero cotangent) — correct for the
+    precomputed normalized adjacencies used by LightGCN/NGCF; models with
+    learned edge values use the autodiff path instead."""
+    return ell_buckets_mm(fwd, x)
+
+
+def _pair_spmm_fwd(x, fwd, bwd):
+    return ell_buckets_mm(fwd, x), (fwd, bwd)
+
+
+def _pair_spmm_bwd(res, g):
+    fwd, bwd = res
+    dx = ell_buckets_mm(bwd, g)
+    return dx, _zero_cotangent(fwd), _zero_cotangent(bwd)
+
+
+pair_spmm.defvjp(_pair_spmm_fwd, _pair_spmm_bwd)
+
+
 def adj_mm(adj, x: jnp.ndarray) -> jnp.ndarray:
-    """Propagate with either a single Ell or an EllBuckets adjacency."""
+    """Propagate with a single Ell, EllBuckets, or AdjPair adjacency."""
+    if isinstance(adj, AdjPair):
+        return pair_spmm(x, adj.fwd, adj.bwd)
     if isinstance(adj, EllBuckets):
         return ell_buckets_mm(adj, x)
     return ell_mm(adj, x)
@@ -98,6 +134,10 @@ def edge_dropout(adj, keep_prob_complement: float, key, training: bool):
     """
     if not training or keep_prob_complement == 0.0:
         return adj
+    if isinstance(adj, AdjPair):
+        # dropped adjacency is data-dependent; the transpose-VJP pairing no
+        # longer holds, so return the autodiff bucketed form
+        return edge_dropout(adj.fwd, keep_prob_complement, key, training)
     keep = 1.0 - keep_prob_complement
 
     def drop_one(ell: Ell, k) -> Ell:

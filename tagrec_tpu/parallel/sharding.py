@@ -36,21 +36,25 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def _is_big_table(x) -> bool:
-    return hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] >= 64
+def _shardable(x, mesh: Mesh) -> bool:
+    """Row-shard only leaves big enough to matter whose leading dim divides
+    the model axis (jax.device_put requires even sharding; uneven tables are
+    replicated — pad tables to the axis size upstream to shard them)."""
+    return (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] >= 64
+            and x.shape[0] % mesh.shape["model"] == 0)
 
 
 def params_sharding(params: Any, mesh: Mesh) -> Any:
     """Row-shard embedding-sized leaves over `model`; replicate small ones."""
     def spec(x):
-        return row_sharded(mesh) if _is_big_table(x) else replicated(mesh)
+        return row_sharded(mesh) if _shardable(x, mesh) else replicated(mesh)
     return jax.tree_util.tree_map(spec, params)
 
 
 def gdev_sharding(gdev: Any, mesh: Mesh) -> Any:
     """Shard device graph data (ELL tables etc.) by row over `model`."""
     def spec(x):
-        return row_sharded(mesh) if _is_big_table(x) else replicated(mesh)
+        return row_sharded(mesh) if _shardable(x, mesh) else replicated(mesh)
     return jax.tree_util.tree_map(spec, gdev)
 
 

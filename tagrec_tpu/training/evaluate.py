@@ -62,30 +62,32 @@ class Evaluator:
         self._batch_eval_cache = {}
 
     # ------------------------------------------------------------------ core
-    def _batch_eval_fn(self, model, split: str):
-        """Build the jit'd per-user-batch eval kernel."""
-        key = (id(model), split)
+    def _batch_eval_fn(self, model):
+        """Build the jit'd per-user-batch eval kernel.
+
+        The padded positive tables flow as ARGUMENTS (not closures): jit
+        constants get pathological layouts on TPU (~100x slower, measured on
+        the adjacency tables)."""
+        key = id(model)
         if key in self._batch_eval_cache:
             return self._batch_eval_cache[key]
 
         topks = tuple(self.cfg.topks)
         max_k = max(topks)
-        train_pad, train_deg = self._train_pad, self._train_deg
-        test_pad, test_deg = self._test_pad[split], self._test_deg[split]
 
         @jax.jit
-        def batch_eval(params, gdev, users, valid):
+        def batch_eval(params, gdev, users, valid, tables):
             scores = model.predict(params, gdev, users)
-            tp = jnp.take(train_pad, users, axis=0)
+            tp = jnp.take(tables["train_pad"], users, axis=0)
             masked = M.mask_train_positives(scores, tp)
             _, topk_ids = jax.lax.top_k(masked, max_k)
-            te = jnp.take(test_pad, users, axis=0)
-            td = jnp.take(test_deg, users, axis=0)
+            te = jnp.take(tables["test_pad"], users, axis=0)
+            td = jnp.take(tables["test_deg"], users, axis=0)
             label = M.hit_labels(topk_ids, te)
             sums = M.batch_metric_sums(label, td, topks, valid)
-            sums["auc"] = M.batch_auc_sum(masked, te, td,
-                                          jnp.take(train_deg, users, axis=0),
-                                          valid)
+            sums["auc"] = M.batch_auc_sum(
+                masked, te, td, jnp.take(tables["train_deg"], users, axis=0),
+                valid)
             return sums
 
         self._batch_eval_cache[key] = batch_eval
@@ -113,7 +115,10 @@ class Evaluator:
 
     def _eval_users(self, model, params, gdev, split: str,
                     users: List[int]) -> Dict:
-        fn = self._batch_eval_fn(model, split)
+        fn = self._batch_eval_fn(model)
+        tables = {"train_pad": self._train_pad, "train_deg": self._train_deg,
+                  "test_pad": self._test_pad[split],
+                  "test_deg": self._test_deg[split]}
         bsz = self.cfg.test_batch
         n = len(users)
         n_pad = ((n + bsz - 1) // bsz) * bsz
@@ -125,7 +130,7 @@ class Evaluator:
         acc = None
         for i in range(0, n_pad, bsz):
             sums = fn(params, gdev, jnp.asarray(users_arr[i:i + bsz]),
-                      jnp.asarray(valid[i:i + bsz]))
+                      jnp.asarray(valid[i:i + bsz]), tables)
             sums = jax.tree_util.tree_map(np.asarray, sums)
             acc = sums if acc is None else jax.tree_util.tree_map(
                 np.add, acc, sums)

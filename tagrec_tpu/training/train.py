@@ -38,16 +38,22 @@ class PhaseSpec:
     epoch_reset(key)              -> epoch_data pytree (device), e.g. a shuffled
                                      edge table; traced under jit.
     make_batch(key, i, epoch_data)-> batch pytree for step i; traced.
-    loss_fn(params, batch, key)   -> tuple of scalar loss terms (summed for the
-                                     gradient; parts logged separately, like
-                                     training/basic_train.py:15-17).
+    loss_fn(params, gdev, batch, key) -> tuple of scalar loss terms (summed
+                                     for the gradient; parts logged separately,
+                                     like training/basic_train.py:15-17).
+                                     gdev MUST flow as an argument — closing
+                                     over device graph arrays turns them into
+                                     jit constants, which XLA lays out ~100x
+                                     slower than parameters (measured).
     """
 
     name: str
     steps_per_epoch: int
-    epoch_reset: Callable
-    make_batch: Callable
-    loss_fn: Callable
+    epoch_reset: Callable   # (key, data) -> epoch_data
+    make_batch: Callable    # (key, i, epoch_data, data) -> batch
+    loss_fn: Callable       # (params, gdev, batch, key) -> loss parts
+    data: object = None     # device pytree (edge tables, positive tables);
+                            # threaded as a jit ARGUMENT, never a closure
 
 
 def bpr_phase(name: str, edges: np.ndarray, pos_table: sampling.PosTable,
@@ -56,22 +62,23 @@ def bpr_phase(name: str, edges: np.ndarray, pos_table: sampling.PosTable,
     (BPR_training_data semantics, train_data/bpr_training_data.py:12-45):
     per epoch shuffle every (u, i+) pair, pair each with one uniform negative
     outside the user's positive set."""
-    edges_dev = jnp.asarray(edges, dtype=jnp.int32)
     batch = min(batch, len(edges))  # tiny datasets: one full batch
     steps = max(len(edges) // batch, 1)
+    data = {"edges": jnp.asarray(edges, dtype=jnp.int32), "pt": pos_table}
 
-    def epoch_reset(key):
-        perm = jax.random.permutation(key, edges_dev.shape[0])
-        return jnp.take(edges_dev, perm, axis=0)
+    def epoch_reset(key, data):
+        perm = jax.random.permutation(key, data["edges"].shape[0])
+        return jnp.take(data["edges"], perm, axis=0)
 
-    def make_batch(key, i, shuffled):
+    def make_batch(key, i, shuffled, data):
         sl = jax.lax.dynamic_slice(shuffled, (i * batch, 0), (batch, 2))
         users, pos = sl[:, 0], sl[:, 1]
-        neg = sampling.sample_negatives(key, pos_table, users, rounds=neg_rounds)
+        neg = sampling.sample_negatives(key, data["pt"], users,
+                                        rounds=neg_rounds)
         return jnp.stack([users, pos, neg], axis=1)
 
     return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
-                     make_batch=make_batch, loss_fn=loss_fn)
+                     make_batch=make_batch, loss_fn=loss_fn, data=data)
 
 
 def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTable,
@@ -82,18 +89,20 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
     every step samples ``batch`` users, one positive and one negative each,
     plus ``cor_batch`` correlation-sample ids per node type for the
     distance-correlation regularizer."""
-    users_dev = jnp.asarray(user_ids, dtype=jnp.int32)
     cor_sizes = cor_sizes or {}
+    n_users = len(user_ids)
+    data = {"users": jnp.asarray(user_ids, dtype=jnp.int32), "pt": pos_table}
 
-    def epoch_reset(key):
+    def epoch_reset(key, data):
         return jnp.zeros((), dtype=jnp.int32)  # stateless
 
-    def make_batch(key, i, _):
+    def make_batch(key, i, _, data):
         k_u, k_p, k_n, k_c = jax.random.split(key, 4)
-        sel = jax.random.randint(k_u, (batch,), 0, users_dev.shape[0])
-        users = jnp.take(users_dev, sel)
-        pos = sampling.sample_positive(k_p, pos_table, users)
-        neg = sampling.sample_negatives(k_n, pos_table, users, rounds=neg_rounds)
+        sel = jax.random.randint(k_u, (batch,), 0, n_users)
+        users = jnp.take(data["users"], sel)
+        pos = sampling.sample_positive(k_p, data["pt"], users)
+        neg = sampling.sample_negatives(k_n, data["pt"], users,
+                                        rounds=neg_rounds)
         out = {"bpr": jnp.stack([users, pos, neg], axis=1)}
         if cor_sizes:
             cor_keys = jax.random.split(k_c, len(cor_sizes))
@@ -104,7 +113,7 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
         return out
 
     return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
-                     make_batch=make_batch, loss_fn=loss_fn)
+                     make_batch=make_batch, loss_fn=loss_fn, data=data)
 
 
 def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
@@ -122,25 +131,27 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
         pt, keys = sampling.build_triple_table(triples, n_rel_or_keys, n_ids)
     else:
         pt, keys = n_rel_or_keys
-    trip_dev = jnp.asarray(triples, dtype=jnp.int32)
-    keys_dev = jnp.asarray(keys, dtype=jnp.int32)
     batch = min(batch, len(triples))  # tiny datasets: one full batch
     steps = max(len(triples) // batch, 1)
+    data = {"trips": jnp.asarray(triples, dtype=jnp.int32),
+            "keys": jnp.asarray(keys, dtype=jnp.int32), "pt": pt}
 
-    def epoch_reset(key):
-        perm = jax.random.permutation(key, trip_dev.shape[0])
-        return (jnp.take(trip_dev, perm, axis=0), jnp.take(keys_dev, perm))
+    def epoch_reset(key, data):
+        perm = jax.random.permutation(key, data["trips"].shape[0])
+        return (jnp.take(data["trips"], perm, axis=0),
+                jnp.take(data["keys"], perm))
 
-    def make_batch(key, i, state):
+    def make_batch(key, i, state, data):
         trips, tkeys = state
         sl = jax.lax.dynamic_slice(trips, (i * batch, 0), (batch, 3))
         ks = jax.lax.dynamic_slice(tkeys, (i * batch,), (batch,))
-        neg = sampling.sample_negatives(key, pt, ks, rounds=neg_rounds)
+        neg = sampling.sample_negatives(key, data["pt"], ks,
+                                        rounds=neg_rounds)
         # (h, r, t+, t-)
         return jnp.concatenate([sl, neg[:, None]], axis=1)
 
     return PhaseSpec(name=name, steps_per_epoch=steps, epoch_reset=epoch_reset,
-                     make_batch=make_batch, loss_fn=loss_fn)
+                     make_batch=make_batch, loss_fn=loss_fn, data=data)
 
 
 class Trainer:
@@ -163,17 +174,17 @@ class Trainer:
         steps = phase.steps_per_epoch
 
         @jax.jit
-        def run_epoch(params, opt_state, key):
+        def run_epoch(params, opt_state, key, gdev, data):
             key, k_reset = jax.random.split(key)
-            epoch_data = phase.epoch_reset(k_reset)
+            epoch_data = phase.epoch_reset(k_reset, data)
 
             def step(carry, i):
                 params, opt_state, key = carry
                 key, k_batch, k_loss = jax.random.split(key, 3)
-                batch = phase.make_batch(k_batch, i, epoch_data)
+                batch = phase.make_batch(k_batch, i, epoch_data, data)
 
                 def total_loss(p):
-                    parts = phase.loss_fn(p, batch, k_loss)
+                    parts = phase.loss_fn(p, gdev, batch, k_loss)
                     return sum(parts), jnp.stack(parts)
 
                 (_, parts), grads = jax.value_and_grad(
@@ -190,25 +201,34 @@ class Trainer:
         return run_epoch
 
     def run(self, params, key, evaluator, model, gdev, early_stop,
-            log=print) -> Dict:
+            log=print, metrics=None) -> Dict:
         """Full training loop with periodic eval + early stopping
-        (Basic_train.run semantics, training/basic_train.py:60-85)."""
+        (Basic_train.run semantics, training/basic_train.py:60-85).
+        ``metrics``: optional tagrec_tpu.utils.MetricsWriter."""
         cfg = self.cfg
         opt_state = self.init_opt_state(params)
         for ep in range(cfg.epochs):
-            for phase in self.phases:
+            for pi, phase in enumerate(self.phases):
                 t0 = time.time()
                 fn = self._epoch_fn(phase)
-                params, opt_state, key, parts = fn(params, opt_state, key)
+                params, opt_state, key, parts = fn(params, opt_state, key,
+                                                   gdev, phase.data)
                 parts = np.asarray(parts)
-                log(f"[Epoch:{ep}][{phase.name}][{time.time()-t0:.2f}s] "
+                dt = time.time() - t0
+                log(f"[Epoch:{ep}][{phase.name}][{dt:.2f}s] "
                     f"avg_loss: {parts.sum(axis=1).mean():.5f} "
                     f"parts_sum: {list(parts.sum(axis=0))}")
+                if metrics is not None:
+                    metrics.scalars(ep, {
+                        f"train/loss_{pi}": float(parts.sum(axis=1).mean()),
+                        f"train/epoch_time_{pi}": dt})
 
             if ep % cfg.test_interval == 0:
                 t0 = time.time()
                 results = evaluator.run(model, params, gdev)
                 log(f"[Epoch {ep}][eval {time.time()-t0:.2f}s] {results}")
+                if metrics is not None:
+                    metrics.results(ep, results, cfg.topks)
                 if early_stop(params, results, ep):
                     log(f"early stop trigger at epoch {ep}")
                     break

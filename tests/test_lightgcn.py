@@ -80,8 +80,8 @@ def test_end_to_end_training_loop(tiny_graph):
                                   tiny_graph.n_user, tiny_graph.n_item)
     edges = tiny_graph.edge_index["train"]
 
-    def loss_fn(p, batch, key):
-        return model.bpr_loss(p, gdev, batch, key=key)
+    def loss_fn(p, g, batch, key):
+        return model.bpr_loss(p, g, batch, key=key)
 
     phase = bpr_phase("bpr", edges, pt, tcfg.train_batch, loss_fn)
     trainer = Trainer([phase], tcfg)
@@ -91,7 +91,7 @@ def test_end_to_end_training_loop(tiny_graph):
     first_loss = None
     p, o = params, opt_state
     for _ in range(10):
-        p, o, key, parts = fn(p, o, key)
+        p, o, key, parts = fn(p, o, key, gdev, phase.data)
         ep_loss = float(np.asarray(parts).sum(axis=1).mean())
         if first_loss is None:
             first_loss = ep_loss

@@ -51,7 +51,7 @@ def test_pipeline_one_epoch(tiny_graph, name):
     for phase in pipe.phases:
         phase.steps_per_epoch = min(phase.steps_per_epoch, 2)
         fn = trainer._epoch_fn(phase)
-        params, opt_state, key, parts = fn(params, opt_state, key)
+        params, opt_state, key, parts = fn(params, opt_state, key, pipe.gdev, phase.data)
         assert np.all(np.isfinite(np.asarray(parts)))
     res = pipe.evaluator.run(pipe.model, params, pipe.gdev)
     assert len(res["ndcg"]) == 2 and 0 <= res["auc"][0] <= 1

@@ -1,0 +1,90 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded training step,
+distributed top-k, sharding specs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tagrec_tpu.parallel.mesh import make_mesh
+from tagrec_tpu.parallel import sharding as shd
+from tagrec_tpu.parallel.topk import distributed_masked_topk, shard_items
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8, data_parallel=4)  # (data=4, model=2)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.shape == {"data": 4, "model": 2}
+
+
+def test_distributed_topk_matches_dense(mesh8):
+    rng = np.random.default_rng(0)
+    B, I, D, k = 16, 100, 8, 10
+    u = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    it = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    train_pad = jnp.asarray(rng.integers(0, I, (B, 5)).astype(np.int32))
+
+    it_sharded, n_valid = shard_items(it, mesh8)
+    vals, ids = distributed_masked_topk(u, it_sharded, train_pad, k, mesh8,
+                                        n_valid=n_valid)
+
+    # dense oracle
+    scores = jax.nn.sigmoid(u @ it.T)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], train_pad.shape)
+    masked = scores.at[rows, train_pad].set(-1024.0, mode="drop")
+    ev, ei = jax.lax.top_k(masked, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ev), rtol=1e-5)
+    # ids may differ on exact ties; check score equality via gather
+    got_scores = np.take_along_axis(np.asarray(masked), np.asarray(ids), axis=1)
+    np.testing.assert_allclose(got_scores, np.asarray(ev), rtol=1e-5)
+    # masked train positives never appear
+    for b in range(B):
+        assert not set(np.asarray(ids)[b]).intersection(
+            set(np.asarray(train_pad)[b].tolist()))
+
+
+def test_sharded_train_step_matches_single_device(mesh8, tiny_graph):
+    """The (data, model)-sharded LightGCN train step must produce the same
+    loss and updated params as the unsharded step."""
+    import optax
+    from tagrec_tpu.config import model_preset
+    from tagrec_tpu.models.lightgcn import LightGCN
+
+    cfg = model_preset("lightgcn", reg=1e-4)
+    model = LightGCN(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gdev = model.device_data()
+    batch = jnp.asarray(np.stack([np.arange(16) % 40, np.arange(16) % 90,
+                                  (np.arange(16) * 3 + 1) % 90], 1),
+                        dtype=jnp.int32)
+    opt = optax.adam(0.01)
+
+    def step(params, opt_state, gdev, batch):
+        def total(p):
+            l, r = model.bpr_loss(p, gdev, batch, key=jax.random.PRNGKey(1))
+            return l + r
+
+        loss, grads = jax.value_and_grad(total)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    # single device
+    p1, l1 = jax.jit(step)(params, opt.init(params), gdev, batch)
+
+    # sharded
+    p_shard = shd.params_sharding(params, mesh8)
+    g_shard = shd.gdev_sharding(gdev, mesh8)
+    params_s = shd.place(params, p_shard)
+    gdev_s = jax.tree_util.tree_map(jax.device_put, gdev, g_shard)
+    batch_s = jax.device_put(batch, shd.batch_sharded(mesh8))
+    with mesh8:
+        p2, l2 = jax.jit(step)(params_s, opt.init(params_s), gdev_s, batch_s)
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

@@ -50,3 +50,35 @@ def test_preprocess_roundtrip(tmp_path):
     for u, its in g.user_items["test"].items():
         if u not in g.user_items["train"]:
             assert len(its) >= 1
+
+
+def test_kg_loader(tmp_path, tiny_graph):
+    """KnowledgeGraph triplet assembly (reference data/kgat_load.py:22-38)."""
+    import numpy as np
+    from tagrec_tpu.data.kg import KnowledgeGraph
+
+    d = tmp_path / "kgds"
+    d.mkdir()
+    kg = np.array([[0, 0, 1], [1, 1, 2], [2, 0, 3]])
+    np.savetxt(d / "kg_final.txt", kg, fmt="%d")
+    g = tiny_graph
+    k = KnowledgeGraph(g, str(tmp_path), "kgds")
+    assert k.num_entity == 4 and k.num_rela == 2 and k.num_relation == 6
+    e = len(g.edge_index["train"])
+    assert len(k.all_triplet) == 2 * e + 2 * len(kg)
+    # ui triples use relation 0; reversed +num_rela+1
+    assert np.all(k.all_triplet[:e, 1] == 0)
+    assert np.all(k.all_triplet[e:2 * e, 1] == k.num_rela + 1)
+    # kg heads/tails offset by n_user, relations +1
+    kg_part = k.all_triplet[2 * e:2 * e + len(kg)]
+    assert np.all(kg_part[:, 0] == kg[:, 0] + g.n_user)
+    assert np.all(kg_part[:, 1] == kg[:, 1] + 1)
+    rd = k.relation_dict()
+    assert len(rd) == 6 and len(rd[0]) == e
+
+
+def test_graph_summary(tiny_graph):
+    s = tiny_graph.summary()
+    assert s["num"]["user"] == tiny_graph.n_user
+    assert s["train"]["pairs"] == len(tiny_graph.edge_index["train"])
+    assert s["uit"]["tags"] == tiny_graph.n_tag
