@@ -60,17 +60,19 @@ def bench_tpu(graph, batch=512, steps=100):
     fn = trainer._epoch_fn(phase)
 
     key = jax.random.PRNGKey(1)
-    # warmup + compile
+    # warmup + compile; the host transfer (float(...)) is the ONLY reliable
+    # synchronization on the tunneled backend — block_until_ready can return
+    # before execution there (see DESIGN.md §6)
     p, o, key, parts = fn(params, opt_state, key, gdev, phase.data)
-    jax.block_until_ready((p, parts))
-    # Time several epochs and block on ALL outputs each iteration — remote
-    # (tunneled) backends can report single small outputs ready early.
+    checksum = float(jnp.sum(parts))
+    assert np.isfinite(checksum)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         p, o, key, parts = fn(p, o, key, gdev, phase.data)
-        jax.block_until_ready((p, parts))
+        checksum += float(jnp.sum(parts))
     dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(checksum)
     n_steps = phase.steps_per_epoch
     return batch * n_steps / dt, dt / n_steps
 

@@ -1,0 +1,294 @@
+"""Quality-parity runs: tagrec_tpu vs torch mirrors of the reference semantics.
+
+Trains both implementations to early stop on the same synthetic tag graph with
+the reference protocol (eval every 5 epochs, patience 10 on NDCG@10, batch 512,
+Adam lr 0.01 — utility/utils.py defaults) and records best recall@20 / NDCG@20.
+The reference publishes no numbers (BASELINE.md), so anchors are produced by
+the mirror and parity is measured against them.
+
+Usage:  python experiments/parity.py [--models lightgcn ngcf ...] [--epochs N]
+Writes: PARITY.md + experiments/parity_results.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+
+def eval_scores(scores: np.ndarray, users, train_ui, test_ui, topks=(10, 20)):
+    """Reference metric protocol on a [B, I] score matrix (numpy oracles)."""
+    from tagrec_tpu.ops import metrics as M
+
+    scores = scores.copy()
+    for b, u in enumerate(users):
+        if u in train_ui:
+            scores[b, train_ui[u]] = -1024.0
+    topk = np.argsort(-scores, axis=1)[:, : max(topks)]
+    tl = [test_ui[u] for u in users]
+    label = M.ref_get_label(tl, topk)
+    out = {}
+    for k in topks:
+        d = M.ref_pre_rec_k(label, tl, k)
+        out[f"recall@{k}"] = d["recall"] / len(users)
+        out[f"ndcg@{k}"] = M.ref_ndcg_k(label, tl, k) / len(users)
+    return out
+
+
+def run_ours(graph, name, epochs, seed=2020):
+    import jax
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.config import TrainConfig, model_preset
+    from tagrec_tpu.training.early_stop import EarlyStop
+    from tagrec_tpu.training.train import Trainer
+
+    mcfg = model_preset(name, reg=1e-4)
+    tcfg = TrainConfig(train_batch=512, test_batch=256, epochs=epochs,
+                       test_interval=5, patient_epoch=10, lr=0.01, seed=seed)
+    pipe = build_pipeline(graph, mcfg, tcfg)
+    params = pipe.model.init(jax.random.PRNGKey(seed))
+    trainer = Trainer(pipe.phases, tcfg)
+    stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key)
+    t0 = time.time()
+    trainer.run(params, jax.random.PRNGKey(seed + 1), pipe.evaluator,
+                pipe.model, pipe.gdev, stop, log=lambda *a: None)
+    best = stop.best_result
+    return {"recall@20": best["recall"][1], "ndcg@20": best["ndcg"][1],
+            "ndcg@10": best["ndcg"][0], "best_epoch": stop.best_epoch,
+            "train_s": round(time.time() - t0, 1)}
+
+
+def run_mirror(graph, name, epochs, seed=2020):
+    """Train the torch mirror with the reference training protocol."""
+    import torch
+    import jax
+    import torch_mirrors as TM
+    from tagrec_tpu.config import model_preset
+    from tagrec_tpu.models import MODEL_REGISTRY
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    # identical init as ours, via the jax model's init
+    mcfg = model_preset(name, reg=1e-4)
+    jm = MODEL_REGISTRY[name](graph, mcfg)
+    jparams = jm.init(jax.random.PRNGKey(seed))
+
+    if name == "lightgcn":
+        mirror = TM.TorchLightGCN(graph, [np.asarray(e) for e in jparams["embed"]],
+                                  reg=1e-4)
+    elif name == "ngcf":
+        mirror = TM.TorchNGCF(graph, [np.asarray(e) for e in jparams["embed"]],
+                              {k: np.asarray(v) for k, v in jparams["mat"].items()},
+                              reg=1e-4)
+    elif name == "dgcf":
+        mirror = TM.TorchDGCF(graph, [np.asarray(e) for e in jparams["embed"]])
+    elif name == "disengcn":
+        mirror = TM.TorchDisenGCN(
+            graph, [np.asarray(e) for e in jparams["embed"]],
+            [{k: np.asarray(v) for k, v in lp.items()}
+             for lp in jparams["layers"]])
+    elif name == "disenhan":
+        mirror = TM.TorchDisenHAN(
+            graph, [np.asarray(e) for e in jparams["embed"]],
+            [{k: np.asarray(v) for k, v in lp.items()}
+             for lp in jparams["layers"]])
+    elif name == "kgat":
+        mirror = TM.TorchKGATDegenerate(
+            np.asarray(jparams["user"]), np.asarray(jparams["entity"]),
+            np.asarray(jparams["relation"]), np.asarray(jparams["transE"]),
+            reg=1e-4, cor_reg=1e-4)
+    elif name == "tgcn":
+        tables = {k: (np.asarray(i), np.asarray(w))
+                  for k, (i, w) in jm.device_data().items()}
+        layer_np = []
+        for lp in jparams["layers"]:
+            d = {"atten1": {t: {kk: np.asarray(vv) for kk, vv in ap.items()}
+                            for t, ap in lp["atten1"].items()}}
+            for k in ("U", "q", "p", "bit", "Wf", "bf"):
+                d[k] = np.asarray(lp[k])
+            d["vec"] = [np.asarray(v) for v in lp["vec"]]
+            layer_np.append(d)
+        mirror = TM.TorchTGCN([np.asarray(e) for e in jparams["embed"]],
+                              np.asarray(jparams["weight"]), layer_np, tables,
+                              reg=1e-4)
+    else:
+        raise ValueError(name)
+
+    opt = torch.optim.Adam(mirror.parameters(), lr=0.01)
+    train_ui = graph.user_items["train"]
+    test_ui = graph.user_items["test"]
+    edges = graph.edge_index["train"]
+    users = sorted(test_ui.keys())
+    train_users = sorted(train_ui.keys())
+
+    def evaluate():
+        with torch.no_grad():
+            if name == "kgat":
+                scores = mirror.forward_scores(users)
+            elif name == "tgcn":
+                U, I, _ = mirror.forward()
+                scores = torch.sigmoid(U[torch.tensor(users)] @ I.T).numpy()
+            else:
+                fin = mirror.forward()
+                nu, ni = graph.n_user, graph.n_item
+                U, I = fin[: nu], fin[nu: nu + ni]
+                scores = torch.sigmoid(U[torch.tensor(users)] @ I.T).numpy()
+        return eval_scores(scores, users, train_ui, test_ui)
+
+    # second-phase triples
+    if name == "kgat":
+        rel = graph.relation_edges()
+        trips = np.concatenate([
+            np.stack([rel[k][0], np.full(rel[k].shape[1], k), rel[k][1]], 1)
+            for k in range(6)])
+        n_tail_ids = graph.n_user + graph.n_item + graph.n_tag
+        trip_pos = {}
+        for h, r, t in trips:
+            trip_pos.setdefault((h, r), set()).add(t)
+    elif name == "tgcn":
+        trips = graph.uit_data[:, [0, 2, 1]].astype(np.int64)
+        n_tail_ids = graph.n_item
+        trip_pos = {}
+        for h, r, t in trips:
+            trip_pos.setdefault((h, r), set()).add(t)
+
+    best, best_val, stale, best_ep = None, -1.0, 0, 0
+    t0 = time.time()
+    for ep in range(epochs):
+        if name in ("lightgcn", "ngcf", "kgat", "tgcn"):  # BPR full pass
+            perm = rng.permutation(len(edges))
+            batches = [perm[i:i + 512] for i in range(0, len(edges) - 511, 512)]
+            batch_arrays = []
+            for sel in batches:
+                u, i = edges[sel, 0], edges[sel, 1]
+                negs = [_neg(rng, train_ui[x], graph.n_item) for x in u]
+                batch_arrays.append(np.stack([u, i, np.array(negs)], 1))
+        else:  # DGCF-family per-step user resampling
+            steps = len(edges) // 512 + 1
+            batch_arrays = []
+            for _ in range(steps):
+                u = rng.choice(train_users, 512)
+                p = np.array([rng.choice(train_ui[x]) for x in u])
+                negs = [_neg(rng, train_ui[x], graph.n_item) for x in u]
+                batch_arrays.append(np.stack([u, p, np.array(negs)], 1))
+        for b in batch_arrays:
+            loss = mirror.loss(b.astype(np.int64))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        if name in ("kgat", "tgcn"):  # phase 2: shuffled triple pass
+            bsz = 1024 if name == "kgat" else 512
+            perm = rng.permutation(len(trips))
+            for i in range(0, max(len(trips) - bsz + 1, 1), bsz):
+                tb = trips[perm[i:i + bsz]]
+                negs = np.array([_neg_triple(rng, trip_pos[(h, r)], n_tail_ids)
+                                 for h, r, _ in tb])
+                tb4 = np.concatenate([tb, negs[:, None]], 1).astype(np.int64)
+                if name == "kgat":
+                    l2 = mirror.loss_transe(tb4)
+                else:
+                    l2 = TM.tgcn_transtag_loss(mirror, tb4)
+                opt.zero_grad()
+                l2.backward()
+                opt.step()
+        if ep % 5 == 0:
+            res = evaluate()
+            if res["ndcg@10"] > best_val:
+                best_val, best, best_ep, stale = res["ndcg@10"], res, ep, 0
+            else:
+                stale += 1
+            if stale > 10:
+                break
+    return {"recall@20": best["recall@20"], "ndcg@20": best["ndcg@20"],
+            "ndcg@10": best["ndcg@10"], "best_epoch": best_ep,
+            "train_s": round(time.time() - t0, 1)}
+
+
+def _neg(rng, pos, n):
+    while True:
+        j = int(rng.integers(0, n))
+        if j not in pos:
+            return j
+
+
+def _neg_triple(rng, pos_set, n):
+    while True:
+        j = int(rng.integers(0, n))
+        if j not in pos_set:
+            return j
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="+",
+                    default=["lightgcn", "ngcf", "dgcf"])
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--out", default="experiments/parity_results.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU chip free)")
+    ap.add_argument("--side", choices=["ours", "mirror", "both"],
+                    default="both")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from tagrec_tpu.data.synthetic import synthetic_graph
+
+    graph = synthetic_graph(n_user=300, n_item=800, n_tag=120, avg_deg=20,
+                            seed=0)
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+    for name in args.models:
+        results.setdefault(name, {})
+        if args.side in ("ours", "both"):
+            print(f"=== {name}: ours ===", flush=True)
+            ours = run_ours(graph, name, args.epochs)
+            print(name, "ours:", ours, flush=True)
+            results[name]["tagrec_tpu"] = ours
+        if args.side in ("mirror", "both"):
+            print(f"=== {name}: torch mirror ===", flush=True)
+            ref = run_mirror(graph, name, args.epochs)
+            print(name, "mirror:", ref, flush=True)
+            results[name]["reference_mirror"] = ref
+        r = results[name]
+        if "tagrec_tpu" in r and "reference_mirror" in r:
+            o, m = r["tagrec_tpu"], r["reference_mirror"]
+            r["recall20_ratio"] = round(o["recall@20"] /
+                                        max(m["recall@20"], 1e-9), 3)
+            r["ndcg20_ratio"] = round(o["ndcg@20"] /
+                                      max(m["ndcg@20"], 1e-9), 3)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+
+    # PARITY.md summary
+    lines = ["# PARITY — tagrec_tpu vs reference-semantics torch mirrors\n",
+             "Protocol: same synthetic tag graph (300u/800i/120t), same init, "
+             "reference training protocol (batch 512, Adam lr 0.01, eval "
+             "every 5 epochs, patience 10 on NDCG@10).\n",
+             "| model | ours recall@20 | mirror recall@20 | ours ndcg@20 | "
+             "mirror ndcg@20 | recall ratio | ndcg ratio |",
+             "|---|---|---|---|---|---|---|"]
+    for name, r in results.items():
+        if "tagrec_tpu" not in r or "reference_mirror" not in r:
+            continue
+        o, m = r["tagrec_tpu"], r["reference_mirror"]
+        lines.append(
+            f"| {name} | {o['recall@20']:.4f} | {m['recall@20']:.4f} | "
+            f"{o['ndcg@20']:.4f} | {m['ndcg@20']:.4f} | "
+            f"{r['recall20_ratio']} | {r['ndcg20_ratio']} |")
+    with open("PARITY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote PARITY.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--out_dir", type=str, default="run")
     p.add_argument("--group_k", type=int, default=4)
+    p.add_argument("--resume", type=str, default="",
+                   help="train-state file for save/resume across restarts")
     return p.parse_args(argv)
 
 
@@ -94,7 +96,7 @@ def main(argv=None):
     stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key, save_path=ckpt_path)
     trainer = Trainer(pipe.phases, tcfg)
     trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop,
-                metrics=metrics)
+                metrics=metrics, state_path=args.resume or None)
 
     # reload best checkpoint for the final report (main.py:24)
     best = checkpoint.load(ckpt_path, params) if os.path.exists(ckpt_path) \

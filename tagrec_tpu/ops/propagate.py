@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from tagrec_tpu.ops.ell import AdjPair, Ell, EllBuckets, ell_mask
+from tagrec_tpu.ops.ell import AdjPair, Ell, EllBuckets, Hybrid, ell_mask
 
 
 def coo_spmm(row: jnp.ndarray, col: jnp.ndarray, val: jnp.ndarray,
@@ -66,23 +66,37 @@ def _zero_cotangent(tree):
     return jax.tree_util.tree_map(z, tree)
 
 
+def hybrid_mm(h: Hybrid, x: jnp.ndarray) -> jnp.ndarray:
+    """Hybrid SpMM: ELL gather for tail edges + one MXU matmul over the dense
+    hub-column block (zipf graphs put ~half their edges on a few hundred
+    popular columns — those stream through the MXU at full bandwidth).
+    dense_cols=None with a block present means the block is the FULL dense
+    adjacency (ops.ell.build_dense)."""
+    if h.dense_block is not None and h.dense_cols is None:
+        return jnp.dot(h.dense_block, x, preferred_element_type=x.dtype)
+    out = ell_buckets_mm(h.ell, x)
+    if h.dense_block is not None:
+        out = out + h.dense_block @ jnp.take(x, h.dense_cols, axis=0)
+    return out
+
+
 @jax.custom_vjp
-def pair_spmm(x: jnp.ndarray, fwd: EllBuckets, bwd: EllBuckets) -> jnp.ndarray:
-    """SpMM with a scatter-free backward: forward gathers via ``fwd``, the
-    cotangent propagates via the transpose tables ``bwd`` (d(A@x)/dx = A^T g).
-    The adjacency is treated as a constant (zero cotangent) — correct for the
-    precomputed normalized adjacencies used by LightGCN/NGCF; models with
-    learned edge values use the autodiff path instead."""
-    return ell_buckets_mm(fwd, x)
+def pair_spmm(x: jnp.ndarray, fwd: Hybrid, bwd: Hybrid) -> jnp.ndarray:
+    """SpMM with a scatter-free backward: forward aggregates via ``fwd``, the
+    cotangent propagates via the transpose structure ``bwd`` (d(A@x)/dx =
+    A^T g).  The adjacency is treated as a constant (zero cotangent) — correct
+    for the precomputed normalized adjacencies used by LightGCN/NGCF; models
+    with learned edge values use the autodiff path instead."""
+    return hybrid_mm(fwd, x)
 
 
 def _pair_spmm_fwd(x, fwd, bwd):
-    return ell_buckets_mm(fwd, x), (fwd, bwd)
+    return hybrid_mm(fwd, x), (fwd, bwd)
 
 
 def _pair_spmm_bwd(res, g):
     fwd, bwd = res
-    dx = ell_buckets_mm(bwd, g)
+    dx = hybrid_mm(bwd, g)
     return dx, _zero_cotangent(fwd), _zero_cotangent(bwd)
 
 
@@ -90,9 +104,11 @@ pair_spmm.defvjp(_pair_spmm_fwd, _pair_spmm_bwd)
 
 
 def adj_mm(adj, x: jnp.ndarray) -> jnp.ndarray:
-    """Propagate with a single Ell, EllBuckets, or AdjPair adjacency."""
+    """Propagate with a single Ell, EllBuckets, Hybrid, or AdjPair adjacency."""
     if isinstance(adj, AdjPair):
         return pair_spmm(x, adj.fwd, adj.bwd)
+    if isinstance(adj, Hybrid):
+        return hybrid_mm(adj, x)
     if isinstance(adj, EllBuckets):
         return ell_buckets_mm(adj, x)
     return ell_mm(adj, x)
@@ -136,7 +152,7 @@ def edge_dropout(adj, keep_prob_complement: float, key, training: bool):
         return adj
     if isinstance(adj, AdjPair):
         # dropped adjacency is data-dependent; the transpose-VJP pairing no
-        # longer holds, so return the autodiff bucketed form
+        # longer holds, so return the autodiff hybrid form
         return edge_dropout(adj.fwd, keep_prob_complement, key, training)
     keep = 1.0 - keep_prob_complement
 
@@ -144,6 +160,16 @@ def edge_dropout(adj, keep_prob_complement: float, key, training: bool):
         u = jax.random.uniform(k, ell.val.shape)
         mask = (u + keep).astype(jnp.int32).astype(ell.val.dtype)  # floor ∈ {0,1}
         return Ell(idx=ell.idx, val=ell.val * mask / keep, deg=ell.deg)
+
+    if isinstance(adj, Hybrid):
+        k_ell, k_dense = jax.random.split(key)
+        ell = edge_dropout(adj.ell, keep_prob_complement, k_ell, training)
+        block = adj.dense_block
+        if block is not None:
+            u = jax.random.uniform(k_dense, block.shape)
+            mask = (u + keep).astype(jnp.int32).astype(block.dtype)
+            block = block * mask / keep  # zeros stay zero
+        return Hybrid(ell=ell, dense_cols=adj.dense_cols, dense_block=block)
 
     if isinstance(adj, EllBuckets):
         keys = jax.random.split(key, len(adj.parts))

@@ -54,24 +54,22 @@ def contains(pt: PosTable, heads: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray
 
 def sample_negatives(key, pt: PosTable, heads: jnp.ndarray,
                      rounds: int = 16) -> jnp.ndarray:
-    """Uniform negatives outside each head's positive set (masked re-draw)."""
+    """Uniform negatives outside each head's positive set.
+
+    One-shot vectorized form of the reference's rejection loop
+    (train_data/utils.py:19-28): draw ``rounds`` candidates per head at once
+    and pick the first non-colliding one.  Residual collision probability is
+    density^rounds (~1e-28 at CF densities with the default 16) — the final
+    candidate is kept in that measure-zero case, keeping shapes static.
+    """
     b = heads.shape[0]
-    rows = jnp.take(pt.table, heads, axis=0)          # [B, P]
-
-    def draw(k):
-        return jax.random.randint(k, (b,), 0, pt.n_ids, dtype=jnp.int32)
-
-    def body(i, carry):
-        cand, k = carry
-        k, sub = jax.random.split(k)
-        bad = jnp.any(rows == cand[:, None], axis=1)
-        cand = jnp.where(bad, draw(sub), cand)
-        return cand, k
-
-    key, sub = jax.random.split(key)
-    cand = draw(sub)
-    cand, _ = jax.lax.fori_loop(0, rounds, body, (cand, key))
-    return cand
+    rows = jnp.take(pt.table, heads, axis=0)               # [B, P]
+    cands = jax.random.randint(key, (rounds, b), 0, pt.n_ids,
+                               dtype=jnp.int32)            # [R, B]
+    bad = jnp.any(cands[:, :, None] == rows[None, :, :], axis=-1)  # [R, B]
+    first_good = jnp.argmax(~bad, axis=0)                  # first False->True
+    sel = jnp.where(jnp.any(~bad, axis=0), first_good, rounds - 1)
+    return jnp.take_along_axis(cands, sel[None, :], axis=0)[0]
 
 
 def sample_positive(key, pt: PosTable, heads: jnp.ndarray) -> jnp.ndarray:

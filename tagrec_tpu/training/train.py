@@ -201,13 +201,25 @@ class Trainer:
         return run_epoch
 
     def run(self, params, key, evaluator, model, gdev, early_stop,
-            log=print, metrics=None) -> Dict:
+            log=print, metrics=None, state_path: Optional[str] = None) -> Dict:
         """Full training loop with periodic eval + early stopping
         (Basic_train.run semantics, training/basic_train.py:60-85).
-        ``metrics``: optional tagrec_tpu.utils.MetricsWriter."""
+        ``metrics``: optional tagrec_tpu.utils.MetricsWriter.
+        ``state_path``: optional resume file — full (params, opt_state, epoch)
+        is saved at every eval and restored on start if present (capability
+        the reference lacks, SURVEY.md §5)."""
+        import os
+
+        from tagrec_tpu.training import checkpoint as ckpt
+
         cfg = self.cfg
         opt_state = self.init_opt_state(params)
-        for ep in range(cfg.epochs):
+        start_ep = 0
+        if state_path and os.path.exists(state_path):
+            params, opt_state, start_ep = ckpt.restore_train_state(
+                state_path, params, opt_state)
+            log(f"resumed from {state_path} at epoch {start_ep}")
+        for ep in range(start_ep, cfg.epochs):
             for pi, phase in enumerate(self.phases):
                 t0 = time.time()
                 fn = self._epoch_fn(phase)
@@ -229,6 +241,9 @@ class Trainer:
                 log(f"[Epoch {ep}][eval {time.time()-t0:.2f}s] {results}")
                 if metrics is not None:
                     metrics.results(ep, results, cfg.topks)
+                if state_path:
+                    ckpt.save_train_state(state_path, params, opt_state,
+                                          step=ep + 1)
                 if early_stop(params, results, ep):
                     log(f"early stop trigger at epoch {ep}")
                     break

@@ -171,7 +171,10 @@ def test_negative_sampling_avoids_positives():
     pos = {0: [1, 2, 3], 1: [0], 2: list(range(20))}
     pt = sampling.build_pos_table(pos, 3, 30)
     heads = jnp.asarray(np.array([0, 1, 2] * 50, dtype=np.int32))
-    neg = np.asarray(sampling.sample_negatives(jax.random.PRNGKey(0), pt, heads))
+    # rounds=64: residual collision prob (20/30)^64 ~ 5e-12 even for the
+    # two-thirds-dense head
+    neg = np.asarray(sampling.sample_negatives(jax.random.PRNGKey(0), pt, heads,
+                                               rounds=64))
     for h, n in zip(np.asarray(heads), neg):
         assert n not in pos[int(h)]
         assert 0 <= n < 30
@@ -190,7 +193,8 @@ def test_triple_table_sampling():
     triples = np.array([[0, 0, 5], [0, 0, 6], [0, 1, 7], [1, 0, 5]])
     pt, keys = sampling.build_triple_table(triples, n_rel=2, n_ids=10)
     kd = jnp.asarray(np.repeat(keys, 30).astype(np.int32))
-    neg = np.asarray(sampling.sample_negatives(jax.random.PRNGKey(2), pt, kd))
+    neg = np.asarray(sampling.sample_negatives(jax.random.PRNGKey(2), pt, kd,
+                                               rounds=64))
     observed = {(0, 0): {5, 6}, (0, 1): {7}, (1, 0): {5}}
     trip_rep = np.repeat(triples, 30, axis=0)
     for (h, r, _), n in zip(trip_rep, neg):
@@ -269,3 +273,25 @@ def test_metric_sums_respect_valid_mask():
     half = metrics.batch_metric_sums(label, te_deg, (10,),
                                      jnp.asarray([1, 1, 0, 0], dtype=jnp.int32))
     assert float(half["recall"][0]) <= float(full["recall"][0])
+
+
+def test_hybrid_matches_dense(rand_coo):
+    """Hybrid dense-hub + ELL-tail SpMM == dense matmul, fwd and vjp."""
+    from tagrec_tpu.ops.ell import build_adj_pair, adj_pair_to_device
+    from tagrec_tpu.ops.propagate import pair_spmm
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((50, 8)).astype(np.float32))
+    for mode, hub_min in (("hybrid", 1), ("hybrid", 6), ("ell", 0),
+                          ("dense", 0), ("auto", 0)):
+        hp = build_adj_pair(rand_coo, symmetric=False, mode=mode,
+                            hub_min_degree=hub_min or 10_000)
+        adj = adj_pair_to_device(hp)
+        out = np.asarray(pair_spmm(x, adj.fwd, adj.bwd))
+        np.testing.assert_allclose(out, rand_coo.to_dense() @ np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+        # vjp: d/dx (sum(A@x * g)) == A^T g
+        g = jnp.asarray(rng.standard_normal((50, 8)).astype(np.float32))
+        dx = jax.grad(lambda xx: jnp.sum(pair_spmm(xx, adj.fwd, adj.bwd) * g))(x)
+        expect = rand_coo.to_dense().T @ np.asarray(g)
+        np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-5)

@@ -437,3 +437,49 @@ class TorchTGCN:
             loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
         reg = 0.5 * (ue.norm(2) ** 2 + pe.norm(2) ** 2 + ne.norm(2) ** 2) / len(u)
         return loss + self.reg * reg
+
+
+class TorchKGATDegenerate:
+    """Shipped-config KGAT (quirk #3): forward returns ego embeddings (no
+    propagation) -> BPR over user/entity tables + squared TransE phase."""
+
+    def __init__(self, embed_user, embed_entity, embed_rel, transE,
+                 reg=1e-4, cor_reg=1e-4):
+        self.transe = TorchKGATTransE(embed_user, embed_entity, embed_rel,
+                                      transE, cor_reg)
+        self.reg = reg
+        self.nu = self.transe.user.shape[0]
+
+    def parameters(self):
+        return self.transe.parameters()
+
+    def loss(self, batch):  # BPR phase
+        u, p, n = (torch.tensor(batch[:, i], dtype=torch.long) for i in range(3))
+        U, E = self.transe.user, self.transe.entity
+        ue, pe, ne = U[u], E[p], E[n]
+        loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        reg = 0.5 * (ue.norm(2) ** 2 + pe.norm(2) ** 2 + ne.norm(2) ** 2) / len(u)
+        return loss + self.reg * reg
+
+    def loss_transe(self, batch):
+        return self.transe.loss(batch)
+
+    def forward_scores(self, users):
+        with torch.no_grad():
+            U, E = self.transe.user, self.transe.entity
+            return torch.sigmoid(U[torch.tensor(users)] @ E.T).numpy()
+
+
+def tgcn_transtag_loss(mirror, batch, margin=1.0, transtag_reg=1e-4):
+    """Phase-2 TransTag margin loss on TorchTGCN ego embeddings
+    (model/tgcn.py:251-261)."""
+    u, t, ip, ineg = (torch.tensor(batch[:, i], dtype=torch.long)
+                      for i in range(4))
+    eu, ei, et = mirror.embed
+    ue, te, pe, ne = eu[u], et[t], ei[ip], ei[ineg]
+    pos = (ue + te - pe).norm(2, dim=1)
+    neg = (ue + te - ne).norm(2, dim=1)
+    loss = torch.relu(margin + pos - neg).mean()
+    reg = 0.5 * (ue.norm(2) ** 2 + te.norm(2) ** 2 + pe.norm(2) ** 2
+                 + ne.norm(2) ** 2) / len(u)
+    return loss + transtag_reg * reg
