@@ -132,7 +132,7 @@ def run_mirror(graph, name, epochs, seed=2020):
         with torch.no_grad():
             if name == "kgat":
                 scores = mirror.forward_scores(users)
-            elif name == "tgcn":
+            elif name in ("tgcn", "disenhan"):
                 U, I, _ = mirror.forward()
                 scores = torch.sigmoid(U[torch.tensor(users)] @ I.T).numpy()
             else:

@@ -19,7 +19,7 @@ import numpy as np
 from tagrec_tpu.compose import build_pipeline
 from tagrec_tpu.config import TrainConfig, model_preset
 from tagrec_tpu.data.graph import HeteroGraph
-from tagrec_tpu.data.synthetic import synthetic_graph
+from tagrec_tpu.data.synthetic import synthetic_graph, synthetic_graph_large
 from tagrec_tpu.training import checkpoint
 from tagrec_tpu.training.early_stop import EarlyStop
 from tagrec_tpu.training.train import Trainer
@@ -50,6 +50,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=2020)
     p.add_argument("--out_dir", type=str, default="run")
     p.add_argument("--group_k", type=int, default=4)
+    p.add_argument("--use_kg", action="store_true",
+                   help="KGAT: use kg_final.txt (true KG) instead of the tag graph")
     p.add_argument("--resume", type=str, default="",
                    help="train-state file for save/resume across restarts")
     return p.parse_args(argv)
@@ -77,14 +79,27 @@ def main(argv=None):
                            time.strftime("%m-%d-%H-%M"))
     os.makedirs(out_dir, exist_ok=True)
 
+    kg = None
     if args.dataset == "synthetic":
         graph = synthetic_graph(seed=args.seed)
+    elif args.dataset == "synthetic_large":
+        # hetrec movielens-2k scale benchmark graph
+        graph = synthetic_graph_large(n_user=2000, n_item=10000, n_tag=3000,
+                                      n_edges=400_000, tag_per_inter=0.3,
+                                      seed=args.seed)
     else:
         graph = HeteroGraph.load(args.data_root, args.dataset,
                                  has_val=args.has_val, use_tag=not args.no_tag)
+        kg_path = os.path.join(args.data_root, args.dataset, "kg_final.txt")
+        if args.model == "kgat" and args.use_kg and os.path.exists(kg_path):
+            from tagrec_tpu.data.kg import KnowledgeGraph
+
+            kg = KnowledgeGraph(graph, args.data_root, args.dataset)
+            print(f"knowledge graph: {kg.num_entity} entities, "
+                  f"{kg.num_relation} relations, {len(kg.all_triplet)} triples")
     print(f"graph ready: {graph.num}")
 
-    pipe = build_pipeline(graph, mcfg, tcfg)
+    pipe = build_pipeline(graph, mcfg, tcfg, kg=kg)
     key = jax.random.PRNGKey(tcfg.seed)
     key, k_init = jax.random.split(key)
     params = pipe.model.init(k_init)

@@ -33,9 +33,14 @@ class Pipeline:
 
 
 def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
-                   tcfg: TrainConfig) -> Pipeline:
+                   tcfg: TrainConfig, kg=None) -> Pipeline:
+    """kg: optional data.kg.KnowledgeGraph — switches KGAT to true-KG mode
+    (the reference's dead kgat_load path as live capability)."""
     name = mcfg.name
-    model = MODEL_REGISTRY[name](graph, mcfg)
+    if name == "kgat" and kg is not None:
+        model = MODEL_REGISTRY[name](graph, mcfg, kg=kg)
+    else:
+        model = MODEL_REGISTRY[name](graph, mcfg)
     gdev = model.device_data()
     evaluator = Evaluator(graph, tcfg)
 
@@ -72,19 +77,27 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
         raise ValueError(f"unknown model family {name}")
 
     if name == "kgat":
-        # TransE phase over the six tag-graph relations
-        # (KGAT_training_data, train_data/transe_training_data.py:12-39).
-        rel = graph.relation_edges()
-        trips = np.concatenate([
-            np.stack([rel[k][0], np.full(rel[k].shape[1], k, dtype=np.int64),
-                      rel[k][1]], axis=1)
-            for k in sorted(rel)])
-        n_ids = graph.n_user + graph.n_item + graph.n_tag
+        # TransE phase: over the six tag-graph relations by default
+        # (KGAT_training_data, train_data/transe_training_data.py:12-39), or
+        # the full KG triplet set in knowledge-graph mode.
+        if kg is not None:
+            trips = kg.all_triplet
+            n_rel = kg.num_relation
+            n_ids = graph.n_user + kg.num_entity
+        else:
+            rel = graph.relation_edges()
+            trips = np.concatenate([
+                np.stack([rel[k][0],
+                          np.full(rel[k].shape[1], k, dtype=np.int64),
+                          rel[k][1]], axis=1)
+                for k in sorted(rel)])
+            n_rel = 6
+            n_ids = graph.n_user + graph.n_item + graph.n_tag
 
         def transe_loss_fn(params, gdev_, batch, key):
             return model.transe_loss(params, gdev_, batch, key=key)
 
-        phases.append(triple_phase("transe", trips, 6, n_ids,
+        phases.append(triple_phase("transe", trips, n_rel, n_ids,
                                    mcfg.transe_batch, transe_loss_fn,
                                    neg_rounds=tcfg.neg_resample_rounds))
 

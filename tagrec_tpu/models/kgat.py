@@ -39,29 +39,47 @@ from tagrec_tpu.ops.propagate import ell_softmax, l2_normalize, message_dropout
 
 
 class KGAT:
-    NUM_RELATION = 6
-
-    def __init__(self, graph: HeteroGraph, cfg: ModelConfig):
+    def __init__(self, graph: HeteroGraph, cfg: ModelConfig, kg=None):
+        """kg: optional tagrec_tpu.data.kg.KnowledgeGraph — when given, KGAT
+        runs over the true knowledge graph (entities + typed relations from
+        kg_final.txt, the reference's exported-but-dead KGAT_load path,
+        data/kgat_load.py:8-50) instead of the six tag-graph relations."""
         self.cfg = cfg
         self.num_user = graph.n_user
-        self.num_entity = graph.n_item + graph.n_tag
-        self.n = self.num_user + self.num_entity
         self.dims = [cfg.dim_latent] + list(cfg.dim_layer_list)
 
-        # Joint directed adjacency over all 6 relations with per-slot relation
-        # ids, bucketed by out-degree.  Encoding: edge value = rel + 1 so ELL
-        # padding (0) is distinguishable.
-        rel_edges = graph.relation_edges()
-        rows = np.concatenate([rel_edges[k][0] for k in range(6)])
-        cols = np.concatenate([rel_edges[k][1] for k in range(6)])
-        rels = np.concatenate([np.full(rel_edges[k].shape[1], k + 1.0,
-                                       dtype=np.float32) for k in range(6)])
+        if kg is not None:
+            # knowledge-graph mode: triples are (h, r, t) over users+entities
+            self.num_entity = kg.num_entity
+            self.num_relation = kg.num_relation
+            self.n = self.num_user + self.num_entity
+            trips = kg.all_triplet
+            rows = trips[:, 0]
+            cols = trips[:, 2]
+            rels = trips[:, 1].astype(np.float32) + 1.0
+        else:
+            # tag-graph mode (reference wiring, com.py:78 / quirk #2)
+            self.num_entity = graph.n_item + graph.n_tag
+            self.num_relation = 6
+            self.n = self.num_user + self.num_entity
+            rel_edges = graph.relation_edges()
+            rows = np.concatenate([rel_edges[k][0] for k in range(6)])
+            cols = np.concatenate([rel_edges[k][1] for k in range(6)])
+            rels = np.concatenate([np.full(rel_edges[k].shape[1], k + 1.0,
+                                           dtype=np.float32)
+                                   for k in range(6)])
+        # Joint directed adjacency with per-slot relation ids, bucketed by
+        # out-degree.  Encoding: edge value = rel + 1 so ELL padding (0) is
+        # distinguishable.
         self._adj_host = ell_lib.build_ell_buckets(rows, cols, rels, self.n,
                                                    self.n)
 
     def device_data(self):
         adj = ell_lib.buckets_to_device(self._adj_host)
-        return {"adj": adj}
+        # per-bucket global row ids (attention needs the head id per row)
+        rows = tuple(jnp.asarray(r, dtype=jnp.int32)
+                     for r in self._adj_host.rows)
+        return {"adj": adj, "rows": rows}
 
     def init(self, key):
         cfg = self.cfg
@@ -69,9 +87,9 @@ class KGAT:
         params = {
             "user": base.xavier_uniform(ks[0], (self.num_user, cfg.dim_latent)),
             "entity": base.xavier_uniform(ks[1], (self.num_entity, cfg.dim_latent)),
-            "relation": base.xavier_uniform(ks[2], (self.NUM_RELATION,
+            "relation": base.xavier_uniform(ks[2], (self.num_relation,
                                                     cfg.dim_relation)),
-            "transE": base.xavier_uniform(ks[3], (self.NUM_RELATION,
+            "transE": base.xavier_uniform(ks[3], (self.num_relation,
                                                   cfg.dim_latent,
                                                   cfg.dim_relation)),
             "mat": {},
@@ -95,7 +113,7 @@ class KGAT:
         # Per-bucket attention + row softmax; values replace the adjacency.
         att_parts = []
         offset = 0
-        for part, rows in zip(adj.parts, self._rows_dev()):
+        for part, rows in zip(adj.parts, gdev["rows"]):
             rel = jnp.maximum(part.val.astype(jnp.int32) - 1, 0)
             tr = jnp.take(proj_flat, rel * self.n + part.idx, axis=0)
             hr = (jnp.take(proj_flat, rel * self.n + rows[:, None], axis=0)
@@ -126,12 +144,6 @@ class KGAT:
                 x = message_dropout(x, cfg.message_drop_list[k], sub, training)
             outs.append(l2_normalize(x))
         return jnp.concatenate(outs, axis=1)
-
-    def _rows_dev(self):
-        if not hasattr(self, "_rows_cache"):
-            self._rows_cache = tuple(jnp.asarray(r, dtype=jnp.int32)
-                                     for r in self._adj_host.rows)
-        return self._rows_cache
 
     # --------------------------------------------------------------- forward
     def forward(self, params, gdev, *, training: bool = False, key=None):

@@ -75,3 +75,41 @@ def test_default_config_skips_propagation(tiny_graph):
     u, e = model.forward(params, gdev, training=False)
     np.testing.assert_array_equal(np.asarray(u), np.asarray(params["user"]))
     np.testing.assert_array_equal(np.asarray(e), np.asarray(params["entity"]))
+
+
+def test_kgat_knowledge_graph_mode(tmp_path, tiny_graph):
+    """KGAT over a true KG (kg_final.txt): entities/relations from the KG,
+    TransE phase over the full triplet set."""
+    import numpy as np
+    from tagrec_tpu.config import TrainConfig
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.data.kg import KnowledgeGraph
+    from tagrec_tpu.training.train import Trainer
+
+    d = tmp_path / "kgds"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    # entities 0..119 (>= n_item so items are a prefix), 3 base relations
+    kg = np.unique(np.stack([rng.integers(0, 120, 400),
+                             rng.integers(0, 3, 400),
+                             rng.integers(0, 120, 400)], axis=1), axis=0)
+    np.savetxt(d / "kg_final.txt", kg, fmt="%d")
+    kgo = KnowledgeGraph(tiny_graph, str(tmp_path), "kgds")
+
+    mcfg = model_preset("kgat", agg_type="bi_inter", reg=1e-4, cor_reg=1e-4)
+    tcfg = TrainConfig(train_batch=32, test_batch=64, epochs=1)
+    pipe = build_pipeline(tiny_graph, mcfg, tcfg, kg=kgo)
+    assert pipe.model.num_entity == kgo.num_entity
+    assert pipe.model.num_relation == kgo.num_relation
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    trainer = Trainer(pipe.phases, tcfg)
+    opt_state = trainer.init_opt_state(params)
+    key = jax.random.PRNGKey(1)
+    for phase in pipe.phases:
+        phase.steps_per_epoch = min(phase.steps_per_epoch, 2)
+        fn = trainer._epoch_fn(phase)
+        params, opt_state, key, parts = fn(params, opt_state, key,
+                                           pipe.gdev, phase.data)
+        assert np.all(np.isfinite(np.asarray(parts)))
+    res = pipe.evaluator.run(pipe.model, params, pipe.gdev)
+    assert np.isfinite(res["ndcg"][0])
