@@ -15,9 +15,13 @@ Capability parity with reference model/dgcf.py:11-152:
   over factor chunks (reference has it implemented but commented out,
   model/dgcf.py:131-145 — here enabled when cor_reg > 0)
 
-TPU-first formulation: edges live in ELL slots [N, K]; routing softmax,
-degree renormalization (segment-sum -> rsqrt -> per-slot scale) and the
-propagation are dense masked ops — no sparse tensor rebuilds per iteration.
+TPU-first formulation: edge slots live in DEGREE-BUCKETED ELL tables; the
+per-edge score tensors A_values are kept per bucket ([F, Nb, Kb] each), so hub
+rows don't inflate the slot tensor for every node (the single-table form would
+need [F, N, max_deg] — OOM at production scale).  All routing ops are
+slot-local or row-local, so bucketing is exact; only the degree vector and the
+normalized tail embeddings are global (reassembled by the buckets' gather
+permutation — no scatter).
 """
 
 from __future__ import annotations
@@ -41,63 +45,86 @@ class DGCF:
             [graph.n_tag] if use_tag else [])
         assert cfg.dim_latent % cfg.factor_k == 0
         self.dim_k = cfg.dim_latent // cfg.factor_k
-        # slot-stable single ELL: A_values live per (row, slot)
         coo = graph.joint_norm_adj(cfg.norm_type, use_tag)  # 'plain'
-        self._ell_host = ell_lib.ell_from_coo(coo)
+        self._adj_host = ell_lib.build_ell_buckets(
+            coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1])
 
     def device_data(self):
-        ell = ell_lib.to_device(self._ell_host)
-        return {"adj": ell, "mask": ell_lib.ell_mask(ell).astype(jnp.float32)}
+        adj = ell_lib.buckets_to_device(self._adj_host)
+        masks = tuple(ell_lib.ell_mask(p).astype(jnp.float32)
+                      for p in adj.parts)
+        return {"adj": adj, "masks": masks}
 
     def init(self, key):
         return {"embed": base.init_embeddings(key, self.num_list,
                                               self.cfg.dim_latent)}
 
     # ------------------------------------------------------------------ core
-    def _factor_update(self, a_slot, ego_split, idx, mask):
-        """One factor's renormalized propagation + score update
-        (model/dgcf.py:91-110). a_slot: [N, K] detached attention values."""
-        row_sum = jnp.sum(a_slot, axis=1)                     # sparse.sum dim=1
-        d = jax.lax.rsqrt(jnp.where(row_sum > 0, row_sum, 1.0))
-        d = jnp.where(row_sum > 0, d, 0.0)                    # inf -> 0
-        scaled = ego_split * d[:, None]                       # D x
-        gathered = jnp.take(scaled, idx, axis=0)              # [N, K, dk]
-        factor_emb = d[:, None] * jnp.einsum("nk,nkd->nd", a_slot, gathered)
+    def _iterate_update(self, a_values, ego_embed, adj, masks):
+        """One layer's routing iterations (model/dgcf.py:68-89), bucketed with
+        all factors batched on a leading axis (keeps the traced program 4x
+        smaller and the einsums MXU-sized).
 
-        h_norm = l2_normalize(factor_emb)                     # head = row
-        t_norm = l2_normalize(ego_split)                      # tail ego
-        t_gath = jnp.tanh(jnp.take(t_norm, idx, axis=0))      # [N, K, dk]
-        a_score = jnp.einsum("nd,nkd->nk", h_norm, t_gath) * mask
-        return factor_emb, a_score
-
-    def _iterate_update(self, a_values, ego_embed, idx, mask):
-        """One layer's routing iterations (model/dgcf.py:68-89)."""
+        a_values: tuple of [F, Nb, Kb] per-bucket score tensors."""
         cfg = self.cfg
-        ego_split = jnp.split(ego_embed, cfg.factor_k, axis=1)
-        layer_emb = []
+        n = ego_embed.shape[0]
+        # [F, n, dk] factor chunks
+        ego_f = jnp.stack(jnp.split(ego_embed, cfg.factor_k, axis=1), axis=0)
+        layer_emb = None
         for t in range(cfg.iterate_k):
-            a_factor = jax.nn.softmax(a_values, axis=0)       # over factors
-            a_used = jax.lax.stop_gradient(a_factor) * mask   # detach (ref :92)
-            scores = []
-            for i in range(cfg.factor_k):
-                femb, a_score = self._factor_update(a_used[i], ego_split[i],
-                                                    idx, mask)
-                scores.append(a_score)
-                if t == cfg.iterate_k - 1:
-                    layer_emb.append(femb)
-            a_values = a_values + jnp.stack(scores, axis=0)   # NOT detached
-        layer_emb = l2_normalize(jnp.stack(layer_emb), axis=2)
-        ego_embed = jnp.concatenate(list(layer_emb), axis=1)
+            # softmax over factors, detached for the adjacency (ref :92)
+            a_used = tuple(
+                jax.lax.stop_gradient(jax.nn.softmax(av, axis=0)) * m[None]
+                for av, m in zip(a_values, masks))
+            # global degree per factor: per-bucket row sums -> concat -> perm
+            d_concat = jnp.concatenate([jnp.sum(a, axis=2) for a in a_used],
+                                       axis=1)                  # [F, Nc]
+            d = jax.lax.rsqrt(jnp.where(d_concat > 0, d_concat, 1.0))
+            d = jnp.where(d_concat > 0, d, 0.0)
+            d_global = jnp.take(d, adj.inv_perm, axis=1)        # [F, n]
+            scaled = ego_f * d_global[:, :, None]               # D x
+
+            t_norm = jnp.tanh(l2_normalize(ego_f, axis=2))      # [F, n, dk]
+            outs, off = [], 0
+            score_inputs = []
+            for part, a in zip(adj.parts, a_used):
+                nb = part.idx.shape[0]
+                gathered = jnp.take(scaled, part.idx, axis=1)   # [F, Nb, Kb, dk]
+                agg = jnp.einsum("fnk,fnkd->fnd", a, gathered)
+                outs.append(d[:, off:off + nb, None] * agg)
+                score_inputs.append(part.idx)
+                off += nb
+            femb_concat = jnp.concatenate(outs, axis=1)         # [F, Nc, dk]
+
+            # score update: head = row, tail = ego (ref :103-109), NOT detached
+            h_norm = l2_normalize(femb_concat, axis=2)
+            new_a, off = [], 0
+            for part, m, av in zip(adj.parts, masks, a_values):
+                nb = part.idx.shape[0]
+                t_gath = jnp.take(t_norm, part.idx, axis=1)     # [F, Nb, Kb, dk]
+                sc = jnp.einsum("fnd,fnkd->fnk",
+                                h_norm[:, off:off + nb], t_gath) * m[None]
+                new_a.append(av + sc)
+                off += nb
+            a_values = tuple(new_a)
+            if t == cfg.iterate_k - 1:
+                layer_emb = femb_concat
+        # per-factor normalize, factor-concat features, back to row order
+        layer = l2_normalize(layer_emb, axis=2)                 # [F, Nc, dk]
+        layer = jnp.transpose(layer, (1, 0, 2)).reshape(layer.shape[1], -1)
+        ego_embed = jnp.take(layer, adj.inv_perm, axis=0)
         return a_values, ego_embed
 
     def forward(self, params, gdev, *, training: bool = False, key=None):
         cfg = self.cfg
-        ell, mask = gdev["adj"], gdev["mask"]
-        a_values = jnp.ones((cfg.factor_k,) + ell.idx.shape, jnp.float32)
+        adj, masks = gdev["adj"], gdev["masks"]
+        a_values = tuple(
+            jnp.ones((cfg.factor_k,) + p.idx.shape, jnp.float32)
+            for p in adj.parts)
         ego = jnp.concatenate(params["embed"], axis=0)
         outs = [ego]
         for _ in range(cfg.num_layer):
-            a_values, ego = self._iterate_update(a_values, ego, ell.idx, mask)
+            a_values, ego = self._iterate_update(a_values, ego, adj, masks)
             outs.append(ego)
         final = jnp.mean(jnp.stack(outs, axis=1), axis=1)
         return base.split_nodes(final, self.num_list)
@@ -111,7 +138,6 @@ class DGCF:
         loss, reg = base.bpr_with_reg(u_all, i_all, u_ego, i_ego, batch,
                                       self.cfg.mul_loss_func, self.cfg.reg)
         if self.cfg.cor_reg > 0.0 and cor is not None:
-            chunks = []
             sel = [embs[0][cor["user"]], embs[1][cor["item"]]]
             if "tag" in cor and len(embs) > 2:
                 sel.append(embs[2][cor["tag"]])

@@ -38,11 +38,17 @@ class DisenGCN:
         assert cfg.dim_latent % cfg.factor_k == 0
         self.dim_k = cfg.dim_latent // cfg.factor_k
         coo = graph.joint_norm_adj(cfg.norm_type, cfg.use_tag)  # 'plain'
-        self._ell_host = ell_lib.ell_from_coo(coo)
+        # degree-bucketed so hub rows don't inflate every row's slot width
+        self._adj_host = ell_lib.build_ell_buckets(
+            coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1])
 
     def device_data(self):
-        ell = ell_lib.to_device(self._ell_host)
-        return {"adj": ell, "mask": ell_lib.ell_mask(ell).astype(jnp.float32)}
+        adj = ell_lib.buckets_to_device(self._adj_host)
+        return {"adj": adj,
+                "rows": tuple(jnp.asarray(r, dtype=jnp.int32)
+                              for r in self._adj_host.rows),
+                "masks": tuple(ell_lib.ell_mask(p).astype(jnp.float32)
+                               for p in adj.parts)}
 
     def init(self, key):
         cfg = self.cfg
@@ -59,30 +65,34 @@ class DisenGCN:
             })
         return params
 
-    def _layer(self, lp, ell, mask, x):
-        """One DisenGCN layer (model/disengcn.py:23-46)."""
+    def _layer(self, lp, gdev, x):
+        """One DisenGCN layer (model/disengcn.py:23-46), bucketed."""
         cfg = self.cfg
+        adj, rows, masks = gdev["adj"], gdev["rows"], gdev["masks"]
         fac = jnp.einsum("nd,fdk->fnk", x, lp["W"] + lp["b"])
         fac = jax.nn.leaky_relu(fac, negative_slope=0.2)
         fac = l2_normalize(fac, axis=2)                        # [F, N, dk]
         new_fac = fac
-        tail = jnp.take(fac, ell.idx, axis=1)                  # [F, N, K, dk]
+        tails = [jnp.take(fac, p.idx, axis=1)                  # [F, Nb, Kb, dk]
+                 for p in adj.parts]
         for _ in range(cfg.iterate_k):
-            # per-edge affinity: head (routed) . tail (static projection)
-            p = jnp.einsum("fnd,fnkd->fnk", new_fac, tail)
-            p = jax.nn.softmax(p, axis=0)                      # over factors
-            p = jax.lax.stop_gradient(p) * mask                # detach (ref :36)
-            agg = jnp.einsum("fnk,fnkd->fnd", p, tail)
+            aggs = []
+            for part, rws, m, tail in zip(adj.parts, rows, masks, tails):
+                head = jnp.take(new_fac, rws, axis=1)          # [F, Nb, dk]
+                p = jnp.einsum("fnd,fnkd->fnk", head, tail)
+                p = jax.nn.softmax(p, axis=0)                  # over factors
+                p = jax.lax.stop_gradient(p) * m               # detach (ref :36)
+                aggs.append(jnp.einsum("fnk,fnkd->fnd", p, tail))
+            agg = jnp.take(jnp.concatenate(aggs, axis=1), adj.inv_perm, axis=1)
             new_fac = l2_normalize(fac + agg, axis=2)          # residual + norm
         # concat factors -> [N, F*dk]
         return jnp.concatenate(list(new_fac), axis=1)
 
     def forward(self, params, gdev, *, training: bool = False, key=None):
         cfg = self.cfg
-        ell, mask = gdev["adj"], gdev["mask"]
         x = jnp.concatenate(params["embed"], axis=0)
         for i in range(cfg.num_layer):
-            x = self._layer(params["layers"][i], ell, mask, x)
+            x = self._layer(params["layers"][i], gdev, x)
             if training and cfg.message_drop_list[i] > 0.0:
                 key, sub = jax.random.split(key)
                 x = message_dropout(x, cfg.message_drop_list[i], sub, training)

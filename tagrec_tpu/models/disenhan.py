@@ -44,12 +44,19 @@ class DisenHAN:
         self.dim_k = cfg.dim_latent // cfg.factor_k
         ui, ut, it = graph.ui_adj, graph.ut_adj, graph.it_adj
         rel_coos = [ui, ui.transpose(), ut, ut.transpose(), it, it.transpose()]
-        self._rel_hosts = [ell_lib.ell_from_coo(c) for c in rel_coos]
+        # per-relation degree-bucketed tables (hub nodes would otherwise
+        # inflate the [F, N, K, dk] routing tensors at production scale)
+        self._rel_hosts = [
+            ell_lib.build_ell_buckets(c.row, c.col, c.val, c.shape[0],
+                                      c.shape[1]) for c in rel_coos]
 
     def device_data(self):
-        rels = tuple(ell_lib.to_device(h) for h in self._rel_hosts)
-        masks = tuple(ell_lib.ell_mask(r).astype(jnp.float32) for r in rels)
-        return {"rels": rels, "masks": masks}
+        rels = tuple(ell_lib.buckets_to_device(h) for h in self._rel_hosts)
+        rows = tuple(tuple(jnp.asarray(r, dtype=jnp.int32) for r in h.rows)
+                     for h in self._rel_hosts)
+        masks = tuple(tuple(ell_lib.ell_mask(p).astype(jnp.float32)
+                            for p in rel.parts) for rel in rels)
+        return {"rels": rels, "rows": rows, "masks": masks}
 
     def init(self, key):
         cfg = self.cfg
@@ -69,25 +76,29 @@ class DisenHAN:
         return params
 
     # ------------------------------------------------------------------ core
-    def _rela_update(self, lp, e, ell, mask, new_src, old_dst, r_src):
-        """One relation's attention aggregation (model/disenhan.py:36-60).
+    def _rela_update(self, lp, e, rel, rows, masks, new_src, old_dst, r_src):
+        """One relation's attention aggregation (model/disenhan.py:36-60),
+        looped over the relation's degree buckets.
 
         new_src: [F, n_src, dk] routed source factors
         old_dst: [F, n_dst, dk] static destination projections
         r_src:   [F, n_src] relation-factor distribution
         """
-        tail = jnp.take(old_dst, ell.idx, axis=1)               # [F, N, K, dk]
-        head = new_src[:, :, None, :]                           # [F, N, 1, dk]
         a = lp["at"][e]                                         # [F, 2dk]
-        e_ts = (jnp.einsum("fnkd,fd->fnk",
-                           jnp.broadcast_to(head, tail.shape),
-                           a[:, : self.dim_k])
-                + jnp.einsum("fnkd,fd->fnk", tail, a[:, self.dim_k:]))
-        e_ts = jax.nn.relu(e_ts)
-        e_rela = jnp.sum(e_ts * r_src[:, :, None], axis=0)      # [N, K]
-        soft = ell_softmax(ell, jnp.where(mask > 0, e_rela,
-                                          jnp.zeros_like(e_rela)))
-        zk = jnp.einsum("nk,fnkd->fnd", soft, tail)
+        # head contribution is constant across a row's slots
+        head_score = jnp.einsum("fnd,fd->fn", new_src, a[:, : self.dim_k])
+        zks = []
+        for part, rws, m in zip(rel.parts, rows, masks):
+            tail = jnp.take(old_dst, part.idx, axis=1)          # [F, Nb, Kb, dk]
+            e_ts = (jnp.take(head_score, rws, axis=1)[:, :, None]
+                    + jnp.einsum("fnkd,fd->fnk", tail, a[:, self.dim_k:]))
+            e_ts = jax.nn.relu(e_ts)
+            r_rows = jnp.take(r_src, rws, axis=1)               # [F, Nb]
+            e_rela = jnp.sum(e_ts * r_rows[:, :, None], axis=0)  # [Nb, Kb]
+            soft = ell_softmax(part, jnp.where(m > 0, e_rela,
+                                               jnp.zeros_like(e_rela)))
+            zks.append(jnp.einsum("nk,fnkd->fnd", soft, tail))
+        zk = jnp.take(jnp.concatenate(zks, axis=1), rel.inv_perm, axis=1)
         zk = jax.nn.leaky_relu(zk, negative_slope=0.2)
         emb_z = zk @ lp["W"]                                    # [F, n_src, dk]
         new_r = jax.nn.softmax(
@@ -96,19 +107,20 @@ class DisenHAN:
 
     def _layer(self, lp, gdev, embs):
         cfg = self.cfg
-        rels, masks = gdev["rels"], gdev["masks"]
+        rels, rows, masks = gdev["rels"], gdev["rows"], gdev["masks"]
         fac = [l2_normalize(
             jax.nn.leaky_relu(jnp.einsum("nd,fdk->fnk", embs[t], lp["Wtk"][t]),
                               negative_slope=0.2), axis=2)
             for t in range(3)]
         new = list(fac)
-        r_list = [jnp.full((cfg.factor_k, rels[e].idx.shape[0]),
-                           1.0 / cfg.factor_k) for e in range(6)]
+        n_src = [fac[REL_TYPES[e][0]].shape[1] for e in range(6)]
+        r_list = [jnp.full((cfg.factor_k, n_src[e]), 1.0 / cfg.factor_k)
+                  for e in range(6)]
         for _ in range(2):  # reference hardcodes iterate=2 (model/disenhan.py:157)
             rela, emb_list = [], []
             for e in range(6):
                 src_t, dst_t = REL_TYPES[e]
-                nr, ez = self._rela_update(lp, e, rels[e], masks[e],
+                nr, ez = self._rela_update(lp, e, rels[e], rows[e], masks[e],
                                            new[src_t], fac[dst_t], r_list[e])
                 rela.append(nr)
                 emb_list.append(ez)
