@@ -88,3 +88,54 @@ def test_sharded_train_step_matches_single_device(mesh8, tiny_graph):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_sharded_eval_metrics_match_single_device(mesh8):
+    """Distributed eval (sharded scoring + topk + count-AUC) == single-device
+    metric sums."""
+    from tagrec_tpu.ops import metrics as M
+    from tagrec_tpu.parallel.topk import sharded_eval_metrics, shard_items
+
+    rng = np.random.default_rng(3)
+    B, I, D = 12, 96, 8
+    topks = (10, 20)
+    u = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    it = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    train_pos = [sorted(rng.choice(I, size=rng.integers(1, 5),
+                                   replace=False).tolist()) for _ in range(B)]
+    test_pos = []
+    for tp in train_pos:
+        avail = np.setdiff1d(np.arange(I), tp)
+        test_pos.append(sorted(rng.choice(avail, size=rng.integers(1, 6),
+                                          replace=False).tolist()))
+    P_, T = max(map(len, train_pos)), max(map(len, test_pos))
+    train_pad = np.full((B, P_), I, dtype=np.int32)
+    test_pad = np.full((B, T), -1, dtype=np.int32)
+    tr_deg = np.zeros(B, np.int32)
+    te_deg = np.zeros(B, np.int32)
+    for b in range(B):
+        train_pad[b, :len(train_pos[b])] = train_pos[b]
+        tr_deg[b] = len(train_pos[b])
+        test_pad[b, :len(test_pos[b])] = test_pos[b]
+        te_deg[b] = len(test_pos[b])
+    valid = jnp.ones(B, jnp.int32)
+
+    # single-device oracle
+    scores = jax.nn.sigmoid(u @ it.T)
+    masked = M.mask_train_positives(scores, jnp.asarray(train_pad))
+    _, topk_ids = jax.lax.top_k(masked, max(topks))
+    label = M.hit_labels(topk_ids, jnp.asarray(test_pad))
+    expect = M.batch_metric_sums(label, jnp.asarray(te_deg), topks, valid)
+    expect_auc = M.batch_auc_sum(masked, jnp.asarray(test_pad),
+                                 jnp.asarray(te_deg), jnp.asarray(tr_deg),
+                                 valid)
+
+    it_sharded, n_valid = shard_items(it, mesh8)
+    got = sharded_eval_metrics(u, it_sharded, jnp.asarray(train_pad),
+                               jnp.asarray(test_pad), jnp.asarray(te_deg),
+                               jnp.asarray(tr_deg), valid, topks, mesh8,
+                               n_valid=n_valid)
+    for k in ("recall", "precision", "hr", "ndcg"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(expect[k]),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(float(got["auc"]), float(expect_auc), rtol=1e-4)
