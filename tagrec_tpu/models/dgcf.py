@@ -122,11 +122,19 @@ class DGCF:
             jnp.ones((cfg.factor_k,) + p.idx.shape, jnp.float32)
             for p in adj.parts)
         ego = jnp.concatenate(params["embed"], axis=0)
-        outs = [ego]
-        for _ in range(cfg.num_layer):
+
+        # layers are parameter-free and structurally identical -> lax.scan
+        # (keeps the traced program size independent of num_layer; DGCF's
+        # unrolled form took >10 min to compile at production scale)
+        def layer(carry, _):
+            a_values, ego = carry
             a_values, ego = self._iterate_update(a_values, ego, adj, masks)
-            outs.append(ego)
-        final = jnp.mean(jnp.stack(outs, axis=1), axis=1)
+            return (a_values, ego), ego
+
+        (_, _), layer_outs = jax.lax.scan(layer, (a_values, ego), None,
+                                          length=cfg.num_layer)
+        stacked = jnp.concatenate([ego[None], layer_outs], axis=0)
+        final = jnp.mean(stacked, axis=0)
         return base.split_nodes(final, self.num_list)
 
     # ----------------------------------------------------------------- loss

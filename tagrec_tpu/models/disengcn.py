@@ -91,11 +91,23 @@ class DisenGCN:
     def forward(self, params, gdev, *, training: bool = False, key=None):
         cfg = self.cfg
         x = jnp.concatenate(params["embed"], axis=0)
-        for i in range(cfg.num_layer):
-            x = self._layer(params["layers"][i], gdev, x)
-            if training and cfg.message_drop_list[i] > 0.0:
+        use_drop = training and any(r > 0 for r in cfg.message_drop_list)
+        if use_drop:
+            # dropout rates can differ per layer -> keep the python loop
+            for i in range(cfg.num_layer):
+                x = self._layer(params["layers"][i], gdev, x)
                 key, sub = jax.random.split(key)
                 x = message_dropout(x, cfg.message_drop_list[i], sub, training)
+        else:
+            # identical structure per layer -> scan over stacked params
+            # (compile time independent of depth)
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                             *params["layers"])
+
+            def layer(xc, lp):
+                return self._layer(lp, gdev, xc), None
+
+            x, _ = jax.lax.scan(layer, x, stacked)
         return base.split_nodes(x, self.num_list)
 
     def bpr_loss(self, params, gdev, batch, *, key=None, training: bool = True,

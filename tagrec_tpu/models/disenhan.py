@@ -140,9 +140,19 @@ class DisenHAN:
 
     def forward(self, params, gdev, *, training: bool = False, key=None):
         embs = list(params["embed"])
-        for lp in params["layers"]:
-            embs = self._layer(lp, gdev, embs)
-        return tuple(embs)
+        if len(params["layers"]) == 1:
+            return tuple(self._layer(params["layers"][0], gdev, embs))
+        # layers are structurally identical; after layer 1 the per-type dims
+        # are all dim_latent -> scan layers 2..L over stacked params
+        embs = self._layer(params["layers"][0], gdev, embs)
+        rest = params["layers"][1:]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rest)
+
+        def layer(carry, lp):
+            return tuple(self._layer(lp, gdev, list(carry))), None
+
+        out, _ = jax.lax.scan(layer, tuple(embs), stacked)
+        return out
 
     def bpr_loss(self, params, gdev, batch, *, key=None, training: bool = True,
                  cor=None):

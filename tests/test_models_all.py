@@ -55,3 +55,24 @@ def test_pipeline_one_epoch(tiny_graph, name):
         assert np.all(np.isfinite(np.asarray(parts)))
     res = pipe.evaluator.run(pipe.model, params, pipe.gdev)
     assert len(res["ndcg"]) == 2 and 0 <= res["auc"][0] <= 1
+
+
+def test_tgcn_on_device_resampling(tiny_graph):
+    """TGCN resample_each_layer=True: fresh neighbor draws per layer via
+    jax.random (the reference's *intended* behavior behind quirk #6)."""
+    from tagrec_tpu.models.tgcn import TGCN
+
+    cfg = model_preset("tgcn", reg=1e-4)
+    m = TGCN(tiny_graph, cfg, resample_each_layer=True)
+    params = m.init(jax.random.PRNGKey(0))
+    gdev = m.device_data()
+    out1 = m.forward(params, gdev, training=True, key=jax.random.PRNGKey(1))
+    out2 = m.forward(params, gdev, training=True, key=jax.random.PRNGKey(2))
+    # different keys -> different sampled neighborhoods -> different outputs
+    assert not np.allclose(np.asarray(out1[0]), np.asarray(out2[0]))
+    # static mode ignores the key
+    m2 = TGCN(tiny_graph, cfg, resample_each_layer=False)
+    g2 = m2.device_data()
+    s1 = m2.forward(params, g2, training=True, key=jax.random.PRNGKey(1))
+    s2 = m2.forward(params, g2, training=True, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(s2[0]))
