@@ -29,6 +29,12 @@ class ModelConfig:
     agg_type: str = "bi_agg"
     mul_loss_func: str = "softplus"  # softplus | logsigmoid
     use_tag: bool = True
+    # Adjacency/attention execution mode (no effect on semantics):
+    #   "auto"  — dense MXU-streamed formulation when the [N, M] pattern fits
+    #             the dense budget (ops.ell.DENSE_ADJ_BUDGET_BYTES), else the
+    #             degree-bucketed ELL / edgemap formulation
+    #   "dense" / "ell" — force one path (ell is the sharded-regime format)
+    adj_mode: str = "auto"
     message_drop_list: Tuple[float, ...] = (0.0, 0.0, 0.0)
     node_drop: float = 0.0  # edge-dropout keep prob knob (reference model/help/adj.py:170)
     reg: float = 0.0

@@ -21,7 +21,9 @@ rows don't inflate the slot tensor for every node (the single-table form would
 need [F, N, max_deg] — OOM at production scale).  All routing ops are
 slot-local or row-local, so bucketing is exact; only the degree vector and the
 normalized tail embeddings are global (reassembled by the buckets' gather
-permutation — no scatter).
+permutation — no scatter).  The aggregation and score updates run through the
+ops.edgemap primitives, whose custom VJPs propagate cotangents over the
+precomputed transpose tables — no scatter-adds in the backward pass either.
 """
 
 from __future__ import annotations
@@ -32,7 +34,9 @@ import jax.numpy as jnp
 from tagrec_tpu.config import ModelConfig
 from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
-from tagrec_tpu.ops import ell as ell_lib
+from tagrec_tpu.ops import dense_adj
+from tagrec_tpu.ops import edgemap as emap
+from tagrec_tpu.ops import flash_routing
 from tagrec_tpu.ops import losses
 from tagrec_tpu.ops.propagate import l2_normalize
 
@@ -46,31 +50,36 @@ class DGCF:
         assert cfg.dim_latent % cfg.factor_k == 0
         self.dim_k = cfg.dim_latent // cfg.factor_k
         coo = graph.joint_norm_adj(cfg.norm_type, use_tag)  # 'plain'
-        self._adj_host = ell_lib.build_ell_buckets(
-            coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1])
+        self.dense = dense_adj.use_dense(cfg.adj_mode, *coo.shape)
+        self.flash = cfg.adj_mode != "dense_xla"
+        if self.dense:
+            self._mask_host = dense_adj.dense_mask_host(coo.row, coo.col,
+                                                        *coo.shape)
+        else:
+            self._em_host = emap.build_edge_map(coo.row, coo.col, coo.val,
+                                                coo.shape[0], coo.shape[1])
 
     def device_data(self):
-        adj = ell_lib.buckets_to_device(self._adj_host)
-        masks = tuple(ell_lib.ell_mask(p).astype(jnp.float32)
-                      for p in adj.parts)
-        return {"adj": adj, "masks": masks}
+        if self.dense:
+            return {"mask": jnp.asarray(self._mask_host)}
+        em = emap.to_device(self._em_host)
+        return {"em": em, "masks": em.masks()}
 
     def init(self, key):
         return {"embed": base.init_embeddings(key, self.num_list,
                                               self.cfg.dim_latent)}
 
     # ------------------------------------------------------------------ core
-    def _iterate_update(self, a_values, ego_embed, adj, masks):
+    def _iterate_update(self, a_values, ego_embed, em, masks):
         """One layer's routing iterations (model/dgcf.py:68-89), bucketed with
         all factors batched on a leading axis (keeps the traced program 4x
         smaller and the einsums MXU-sized).
 
         a_values: tuple of [F, Nb, Kb] per-bucket score tensors."""
         cfg = self.cfg
-        n = ego_embed.shape[0]
         # [F, n, dk] factor chunks
         ego_f = jnp.stack(jnp.split(ego_embed, cfg.factor_k, axis=1), axis=0)
-        layer_emb = None
+        femb_row = None
         for t in range(cfg.iterate_k):
             # softmax over factors, detached for the adjacency (ref :92)
             a_used = tuple(
@@ -81,57 +90,96 @@ class DGCF:
                                        axis=1)                  # [F, Nc]
             d = jax.lax.rsqrt(jnp.where(d_concat > 0, d_concat, 1.0))
             d = jnp.where(d_concat > 0, d, 0.0)
-            d_global = jnp.take(d, adj.inv_perm, axis=1)        # [F, n]
+            d_global = jnp.take(d, em.f_inv, axis=1)            # [F, n]
             scaled = ego_f * d_global[:, :, None]               # D x
 
-            t_norm = jnp.tanh(l2_normalize(ego_f, axis=2))      # [F, n, dk]
-            outs, off = [], 0
-            score_inputs = []
-            for part, a in zip(adj.parts, a_used):
-                nb = part.idx.shape[0]
-                gathered = jnp.take(scaled, part.idx, axis=1)   # [F, Nb, Kb, dk]
-                agg = jnp.einsum("fnk,fnkd->fnd", a, gathered)
-                outs.append(d[:, off:off + nb, None] * agg)
-                score_inputs.append(part.idx)
-                off += nb
-            femb_concat = jnp.concatenate(outs, axis=1)         # [F, Nc, dk]
+            # D . (A_f . (D . x)) — scatter-free fwd AND bwd (ops.edgemap)
+            agg = emap.edge_reduce(em, a_used, scaled)          # [F, n, dk]
+            femb_row = d_global[:, :, None] * agg
 
             # score update: head = row, tail = ego (ref :103-109), NOT detached
-            h_norm = l2_normalize(femb_concat, axis=2)
-            new_a, off = [], 0
-            for part, m, av in zip(adj.parts, masks, a_values):
-                nb = part.idx.shape[0]
-                t_gath = jnp.take(t_norm, part.idx, axis=1)     # [F, Nb, Kb, dk]
-                sc = jnp.einsum("fnd,fnkd->fnk",
-                                h_norm[:, off:off + nb], t_gath) * m[None]
-                new_a.append(av + sc)
-                off += nb
-            a_values = tuple(new_a)
-            if t == cfg.iterate_k - 1:
-                layer_emb = femb_concat
-        # per-factor normalize, factor-concat features, back to row order
-        layer = l2_normalize(layer_emb, axis=2)                 # [F, Nc, dk]
-        layer = jnp.transpose(layer, (1, 0, 2)).reshape(layer.shape[1], -1)
-        ego_embed = jnp.take(layer, adj.inv_perm, axis=0)
+            t_norm = jnp.tanh(l2_normalize(ego_f, axis=2))      # [F, n, dk]
+            h_norm = l2_normalize(femb_row, axis=2)
+            sc = emap.edge_dot(em, h_norm, t_norm)              # masked
+            a_values = tuple(av + s for av, s in zip(a_values, sc))
+        # per-factor normalize, factor-concat features
+        layer = l2_normalize(femb_row, axis=2)                  # [F, n, dk]
+        ego_embed = jnp.transpose(layer, (1, 0, 2)).reshape(layer.shape[1], -1)
         return a_values, ego_embed
+
+    def _iterate_update_dense(self, state, ego_embed, mask):
+        """Dense-mode layer: the score table is the implicit low-rank series
+        S_t = 1 + sum_tau U_tau V_tau^T (ops.dense_adj DGCF notes), so routing
+        recomputes score tiles on the MXU instead of holding per-edge slots."""
+        cfg = self.cfg
+        u, v, ti = state
+        ego_f = jnp.stack(jnp.split(ego_embed, cfg.factor_k, axis=1), axis=0)
+        femb = None
+        for _ in range(cfg.iterate_k):
+            if self.flash:
+                # [F, N, T*dk] low-rank factors; the fused Pallas kernels
+                # recompute score tiles on the MXU (S = 1 + U V^T)
+                t, f_, n_, dk = u.shape
+                ueff = u.transpose(1, 2, 0, 3).reshape(f_, n_, t * dk)
+                veff = v.transpose(1, 2, 0, 3).reshape(f_, n_, t * dk)
+                d = flash_routing.routed_rowsum(ueff, veff, mask, base=1.0)
+            else:
+                d = dense_adj.dgcf_dense_degree(u, v, mask)     # [F, n]
+            dr = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
+            dr = jnp.where(d > 0, dr, 0.0)
+            scaled = ego_f * dr[:, :, None]
+            if self.flash:
+                agg = flash_routing.routed_mm(ueff, veff, mask, scaled,
+                                              base=1.0)
+            else:
+                agg = dense_adj.dgcf_dense_prop(u, v, mask, scaled)
+            femb = dr[:, :, None] * agg
+            # score update factors (gradients through the score state never
+            # reach the loss — the routed adjacency is detached, ref :92 —
+            # so the stacks are stored detached)
+            t_norm = jnp.tanh(l2_normalize(ego_f, axis=2))
+            h_norm = l2_normalize(femb, axis=2)
+            u = jax.lax.dynamic_update_slice(
+                u, jax.lax.stop_gradient(h_norm)[None], (ti, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                v, jax.lax.stop_gradient(t_norm)[None], (ti, 0, 0, 0))
+            ti = ti + 1
+        layer = l2_normalize(femb, axis=2)
+        ego_embed = jnp.transpose(layer, (1, 0, 2)).reshape(layer.shape[1], -1)
+        return (u, v, ti), ego_embed
 
     def forward(self, params, gdev, *, training: bool = False, key=None):
         cfg = self.cfg
-        adj, masks = gdev["adj"], gdev["masks"]
-        a_values = tuple(
-            jnp.ones((cfg.factor_k,) + p.idx.shape, jnp.float32)
-            for p in adj.parts)
         ego = jnp.concatenate(params["embed"], axis=0)
 
         # layers are parameter-free and structurally identical -> lax.scan
         # (keeps the traced program size independent of num_layer; DGCF's
         # unrolled form took >10 min to compile at production scale)
-        def layer(carry, _):
-            a_values, ego = carry
-            a_values, ego = self._iterate_update(a_values, ego, adj, masks)
-            return (a_values, ego), ego
+        if self.dense:
+            mask = gdev["mask"]
+            t_total = cfg.num_layer * cfg.iterate_k
+            state = (jnp.zeros((t_total, cfg.factor_k, ego.shape[0],
+                                self.dim_k), jnp.float32),
+                     jnp.zeros((t_total, cfg.factor_k, ego.shape[0],
+                                self.dim_k), jnp.float32),
+                     jnp.zeros((), jnp.int32))
 
-        (_, _), layer_outs = jax.lax.scan(layer, (a_values, ego), None,
+            def layer(carry, _):
+                state, ego = carry
+                state, ego = self._iterate_update_dense(state, ego, mask)
+                return (state, ego), ego
+        else:
+            em, masks = gdev["em"], gdev["masks"]
+            state = tuple(
+                jnp.ones((cfg.factor_k,) + idx.shape, jnp.float32)
+                for idx in em.f_idx)
+
+            def layer(carry, _):
+                a_values, ego = carry
+                a_values, ego = self._iterate_update(a_values, ego, em, masks)
+                return (a_values, ego), ego
+
+        (_, _), layer_outs = jax.lax.scan(layer, (state, ego), None,
                                           length=cfg.num_layer)
         stacked = jnp.concatenate([ego[None], layer_outs], axis=0)
         final = jnp.mean(stacked, axis=0)

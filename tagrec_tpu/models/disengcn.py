@@ -15,7 +15,8 @@ Capability parity with reference model/disengcn.py:9-137:
 
 TPU-first formulation: edges are ELL slots; the per-iteration sparse-tensor
 rebuild + CPU round-trip of the reference (model/disengcn.py:36-37) becomes a
-masked dense einsum.
+masked dense einsum via the ops.edgemap primitives (scatter-free VJPs over
+precomputed transpose tables).
 """
 
 from __future__ import annotations
@@ -26,7 +27,9 @@ import jax.numpy as jnp
 from tagrec_tpu.config import ModelConfig
 from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
-from tagrec_tpu.ops import ell as ell_lib
+from tagrec_tpu.ops import dense_adj
+from tagrec_tpu.ops import edgemap as emap
+from tagrec_tpu.ops import flash_routing
 from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
 
 
@@ -38,17 +41,21 @@ class DisenGCN:
         assert cfg.dim_latent % cfg.factor_k == 0
         self.dim_k = cfg.dim_latent // cfg.factor_k
         coo = graph.joint_norm_adj(cfg.norm_type, cfg.use_tag)  # 'plain'
-        # degree-bucketed so hub rows don't inflate every row's slot width
-        self._adj_host = ell_lib.build_ell_buckets(
-            coo.row, coo.col, coo.val, coo.shape[0], coo.shape[1])
+        self.dense = dense_adj.use_dense(cfg.adj_mode, *coo.shape)
+        self.flash = cfg.adj_mode != "dense_xla"
+        if self.dense:
+            self._mask_host = dense_adj.dense_mask_host(coo.row, coo.col,
+                                                        *coo.shape)
+        else:
+            # degree-bucketed so hub rows don't inflate every row's slot width
+            self._em_host = emap.build_edge_map(coo.row, coo.col, coo.val,
+                                                coo.shape[0], coo.shape[1])
 
     def device_data(self):
-        adj = ell_lib.buckets_to_device(self._adj_host)
-        return {"adj": adj,
-                "rows": tuple(jnp.asarray(r, dtype=jnp.int32)
-                              for r in self._adj_host.rows),
-                "masks": tuple(ell_lib.ell_mask(p).astype(jnp.float32)
-                               for p in adj.parts)}
+        if self.dense:
+            return {"mask": jnp.asarray(self._mask_host)}
+        em = emap.to_device(self._em_host)
+        return {"em": em, "masks": em.masks()}
 
     def init(self, key):
         cfg = self.cfg
@@ -66,24 +73,26 @@ class DisenGCN:
         return params
 
     def _layer(self, lp, gdev, x):
-        """One DisenGCN layer (model/disengcn.py:23-46), bucketed."""
+        """One DisenGCN layer (model/disengcn.py:23-46): dense MXU-streamed
+        routing at small/medium N, scatter-free ops.edgemap buckets otherwise."""
         cfg = self.cfg
-        adj, rows, masks = gdev["adj"], gdev["rows"], gdev["masks"]
         fac = jnp.einsum("nd,fdk->fnk", x, lp["W"] + lp["b"])
         fac = jax.nn.leaky_relu(fac, negative_slope=0.2)
         fac = l2_normalize(fac, axis=2)                        # [F, N, dk]
         new_fac = fac
-        tails = [jnp.take(fac, p.idx, axis=1)                  # [F, Nb, Kb, dk]
-                 for p in adj.parts]
         for _ in range(cfg.iterate_k):
-            aggs = []
-            for part, rws, m, tail in zip(adj.parts, rows, masks, tails):
-                head = jnp.take(new_fac, rws, axis=1)          # [F, Nb, dk]
-                p = jnp.einsum("fnd,fnkd->fnk", head, tail)
-                p = jax.nn.softmax(p, axis=0)                  # over factors
-                p = jax.lax.stop_gradient(p) * m               # detach (ref :36)
-                aggs.append(jnp.einsum("fnk,fnkd->fnd", p, tail))
-            agg = jnp.take(jnp.concatenate(aggs, axis=1), adj.inv_perm, axis=1)
+            if self.dense and self.flash:
+                # fused Pallas kernel: scores + factor softmax + mask + matmul
+                # in one pass, [F, N, N] never materialized
+                agg = flash_routing.routed_mm(new_fac, fac, gdev["mask"], fac)
+            elif self.dense:
+                agg = dense_adj.routed_agg_dense(new_fac, fac, gdev["mask"])
+            else:
+                em, masks = gdev["em"], gdev["masks"]
+                p = emap.edge_dot(em, new_fac, fac)            # [F, Nb, Kb]
+                p = tuple(jax.lax.stop_gradient(jax.nn.softmax(s, axis=0)) * m
+                          for s, m in zip(p, masks))           # detach (ref :36)
+                agg = emap.edge_reduce(em, p, fac)             # [F, N, dk]
             new_fac = l2_normalize(fac + agg, axis=2)          # residual + norm
         # concat factors -> [N, F*dk]
         return jnp.concatenate(list(new_fac), axis=1)

@@ -28,8 +28,9 @@ import jax.numpy as jnp
 from tagrec_tpu.config import ModelConfig
 from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
-from tagrec_tpu.ops import ell as ell_lib
-from tagrec_tpu.ops.propagate import ell_softmax, l2_normalize
+from tagrec_tpu.ops import dense_adj
+from tagrec_tpu.ops import edgemap as emap
+from tagrec_tpu.ops.propagate import l2_normalize
 
 
 # (src_type, dst_type) per relation, matching model/disenhan.py:79
@@ -44,19 +45,25 @@ class DisenHAN:
         self.dim_k = cfg.dim_latent // cfg.factor_k
         ui, ut, it = graph.ui_adj, graph.ut_adj, graph.it_adj
         rel_coos = [ui, ui.transpose(), ut, ut.transpose(), it, it.transpose()]
-        # per-relation degree-bucketed tables (hub nodes would otherwise
-        # inflate the [F, N, K, dk] routing tensors at production scale)
-        self._rel_hosts = [
-            ell_lib.build_ell_buckets(c.row, c.col, c.val, c.shape[0],
-                                      c.shape[1]) for c in rel_coos]
+        n = graph.n_user + graph.n_item + graph.n_tag
+        self.dense = dense_adj.use_dense(cfg.adj_mode, n, n)
+        if self.dense:
+            # per-relation rectangular dense edge patterns (small blocks)
+            self._mask_hosts = [
+                dense_adj.dense_mask_host(c.row, c.col, *c.shape)
+                for c in rel_coos]
+            return
+        # per-relation degree-bucketed edge maps (hub nodes would otherwise
+        # inflate the [F, N, K, dk] routing tensors at production scale); the
+        # edgemap primitives keep fwd AND bwd scatter-free.
+        self._em_hosts = [
+            emap.build_edge_map(c.row, c.col, c.val, c.shape[0], c.shape[1])
+            for c in rel_coos]
 
     def device_data(self):
-        rels = tuple(ell_lib.buckets_to_device(h) for h in self._rel_hosts)
-        rows = tuple(tuple(jnp.asarray(r, dtype=jnp.int32) for r in h.rows)
-                     for h in self._rel_hosts)
-        masks = tuple(tuple(ell_lib.ell_mask(p).astype(jnp.float32)
-                            for p in rel.parts) for rel in rels)
-        return {"rels": rels, "rows": rows, "masks": masks}
+        if self.dense:
+            return {"masks": tuple(jnp.asarray(m) for m in self._mask_hosts)}
+        return {"ems": tuple(emap.to_device(h) for h in self._em_hosts)}
 
     def init(self, key):
         cfg = self.cfg
@@ -76,29 +83,35 @@ class DisenHAN:
         return params
 
     # ------------------------------------------------------------------ core
-    def _rela_update(self, lp, e, rel, rows, masks, new_src, old_dst, r_src):
-        """One relation's attention aggregation (model/disenhan.py:36-60),
-        looped over the relation's degree buckets.
+    def _rela_update(self, lp, e, em, new_src, old_dst, r_src):
+        """One relation's attention aggregation (model/disenhan.py:36-60).
+
+        The edge score e_ts = ReLU([z_u || z_i] . a) is SEPARABLE:
+        a head term constant across a row's slots plus a tail term that is a
+        per-node scalar — so scores need only per-node vectors gathered per
+        slot (edge_gather/rows_gather), never a [F, Nb, Kb, dk] tail tensor.
 
         new_src: [F, n_src, dk] routed source factors
         old_dst: [F, n_dst, dk] static destination projections
         r_src:   [F, n_src] relation-factor distribution
         """
         a = lp["at"][e]                                         # [F, 2dk]
-        # head contribution is constant across a row's slots
         head_score = jnp.einsum("fnd,fd->fn", new_src, a[:, : self.dim_k])
-        zks = []
-        for part, rws, m in zip(rel.parts, rows, masks):
-            tail = jnp.take(old_dst, part.idx, axis=1)          # [F, Nb, Kb, dk]
-            e_ts = (jnp.take(head_score, rws, axis=1)[:, :, None]
-                    + jnp.einsum("fnkd,fd->fnk", tail, a[:, self.dim_k:]))
-            e_ts = jax.nn.relu(e_ts)
-            r_rows = jnp.take(r_src, rws, axis=1)               # [F, Nb]
-            e_rela = jnp.sum(e_ts * r_rows[:, :, None], axis=0)  # [Nb, Kb]
-            soft = ell_softmax(part, jnp.where(m > 0, e_rela,
-                                               jnp.zeros_like(e_rela)))
-            zks.append(jnp.einsum("nk,fnkd->fnd", soft, tail))
-        zk = jnp.take(jnp.concatenate(zks, axis=1), rel.inv_perm, axis=1)
+        tail_score = jnp.einsum("fnd,fd->fn", old_dst, a[:, self.dim_k:])
+        if self.dense:
+            zk = dense_adj.disenhan_dense_rela(head_score, tail_score, r_src,
+                                               old_dst, em)    # em = mask here
+        else:
+            hs = emap.rows_gather(em, head_score[..., None])    # [F, Nb, 1]
+            ts = emap.edge_gather(em, tail_score)               # [F, Nb, Kb]
+            rr = emap.rows_gather(em, r_src[..., None])         # [F, Nb, 1]
+            e_rela = tuple(jnp.sum(jax.nn.relu(h + t) * r, axis=0)
+                           for h, t, r in zip(hs, ts, rr))      # [Nb, Kb]
+            soft = emap.edge_softmax(em, e_rela)
+            soft_f = tuple(
+                jnp.broadcast_to(p[None], (self.cfg.factor_k,) + p.shape)
+                for p in soft)
+            zk = emap.edge_reduce(em, soft_f, old_dst)          # [F, n_src, dk]
         zk = jax.nn.leaky_relu(zk, negative_slope=0.2)
         emb_z = zk @ lp["W"]                                    # [F, n_src, dk]
         new_r = jax.nn.softmax(
@@ -107,7 +120,7 @@ class DisenHAN:
 
     def _layer(self, lp, gdev, embs):
         cfg = self.cfg
-        rels, rows, masks = gdev["rels"], gdev["rows"], gdev["masks"]
+        ems = gdev["masks"] if self.dense else gdev["ems"]
         fac = [l2_normalize(
             jax.nn.leaky_relu(jnp.einsum("nd,fdk->fnk", embs[t], lp["Wtk"][t]),
                               negative_slope=0.2), axis=2)
@@ -120,7 +133,7 @@ class DisenHAN:
             rela, emb_list = [], []
             for e in range(6):
                 src_t, dst_t = REL_TYPES[e]
-                nr, ez = self._rela_update(lp, e, rels[e], rows[e], masks[e],
+                nr, ez = self._rela_update(lp, e, ems[e],
                                            new[src_t], fac[dst_t], r_list[e])
                 rela.append(nr)
                 emb_list.append(ez)

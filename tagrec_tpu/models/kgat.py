@@ -33,9 +33,14 @@ import jax.numpy as jnp
 from tagrec_tpu.config import ModelConfig
 from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
-from tagrec_tpu.ops import ell as ell_lib
+from tagrec_tpu.ops import dense_adj
+from tagrec_tpu.ops import edgemap as emap
 from tagrec_tpu.ops import losses
-from tagrec_tpu.ops.propagate import ell_softmax, l2_normalize, message_dropout
+from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
+
+# relation id for (row type -> col type) sectors, matching
+# data.graph.relation_edges order [ui, iu, ut, tu, it, ti]
+REL_OF = ((-1, 0, 2), (1, -1, 4), (3, 5, -1))
 
 
 class KGAT:
@@ -54,9 +59,9 @@ class KGAT:
             self.num_relation = kg.num_relation
             self.n = self.num_user + self.num_entity
             trips = kg.all_triplet
-            rows = trips[:, 0]
-            cols = trips[:, 2]
-            rels = trips[:, 1].astype(np.float32) + 1.0
+            rows = trips[:, 0].astype(np.int64)
+            cols = trips[:, 2].astype(np.int64)
+            rels = trips[:, 1].astype(np.int64)
         else:
             # tag-graph mode (reference wiring, com.py:78 / quirk #2)
             self.num_entity = graph.n_item + graph.n_tag
@@ -65,21 +70,43 @@ class KGAT:
             rel_edges = graph.relation_edges()
             rows = np.concatenate([rel_edges[k][0] for k in range(6)])
             cols = np.concatenate([rel_edges[k][1] for k in range(6)])
-            rels = np.concatenate([np.full(rel_edges[k].shape[1], k + 1.0,
-                                           dtype=np.float32)
+            rels = np.concatenate([np.full(rel_edges[k].shape[1], k,
+                                           dtype=np.int64)
                                    for k in range(6)])
-        # Joint directed adjacency with per-slot relation ids, bucketed by
-        # out-degree.  Encoding: edge value = rel + 1 so ELL padding (0) is
-        # distinguishable.
-        self._adj_host = ell_lib.build_ell_buckets(rows, cols, rels, self.n,
-                                                   self.n)
+        # Execution mode (semantics-neutral): dense MXU-streamed attention at
+        # small/medium N (sector-structured scores only exist in tag-graph
+        # mode), bucketed edge maps otherwise.
+        self.dense = (kg is None
+                      and dense_adj.use_dense(cfg.adj_mode, self.n, self.n))
+        if self.dense:
+            self._mask_host = dense_adj.dense_mask_host(rows, cols, self.n,
+                                                        self.n)
+            self.segs = ((0, graph.n_user),
+                         (graph.n_user, graph.n_item),
+                         (graph.n_user + graph.n_item, graph.n_tag))
+            return
+        # TWO EdgeMaps over the same edges: a node-keyed map for the
+        # row-softmax over each head's out-edges (torch.sparse.softmax dim=1,
+        # model/kgat.py:97) and the propagation SpMM, plus a
+        # (relation, node)-keyed map on which the attention scores
+        # pi = (W_r e_t).tanh(W_r e_h + e_r) are pure edge_dot products of the
+        # dense per-relation projection tables — so BOTH the scores and their
+        # cotangents are gathers (no scatter-add anywhere in the step).
+        rk = rels * self.n
+        self._em_host = emap.build_edge_map(rows, cols, None, self.n, self.n)
+        self._emk_host = emap.build_edge_map(
+            rk + rows, rk + cols, None, self.num_relation * self.n,
+            self.num_relation * self.n)
+        self._k2n, self._n2k = emap.cross_slot_maps(self._emk_host,
+                                                    self._em_host)
 
     def device_data(self):
-        adj = ell_lib.buckets_to_device(self._adj_host)
-        # per-bucket global row ids (attention needs the head id per row)
-        rows = tuple(jnp.asarray(r, dtype=jnp.int32)
-                     for r in self._adj_host.rows)
-        return {"adj": adj, "rows": rows}
+        if self.dense:
+            return {"mask": jnp.asarray(self._mask_host)}
+        return {"em": emap.to_device(self._em_host),
+                "emk": emap.to_device(self._emk_host),
+                "k2n": tuple(jnp.asarray(t) for t in self._k2n),
+                "n2k": tuple(jnp.asarray(t) for t in self._n2k)}
 
     def init(self, key):
         cfg = self.cfg
@@ -105,28 +132,33 @@ class KGAT:
     def _propagate(self, params, all_embed, gdev, training, key):
         """bi-interaction propagation over the attention adjacency."""
         cfg = self.cfg
-        adj = gdev["adj"]
 
+        # dense per-relation projections: head side tanh(W_r e + e_r), tail
+        # side W_r e.
         proj = jnp.einsum("nd,rde->rne", all_embed, params["transE"])
-        proj_flat = proj.reshape(-1, cfg.dim_relation)
+        q = jnp.tanh(proj + params["relation"][:, None, :])
 
-        # Per-bucket attention + row softmax; values replace the adjacency.
-        att_parts = []
-        offset = 0
-        for part, rows in zip(adj.parts, gdev["rows"]):
-            rel = jnp.maximum(part.val.astype(jnp.int32) - 1, 0)
-            tr = jnp.take(proj_flat, rel * self.n + part.idx, axis=0)
-            hr = (jnp.take(proj_flat, rel * self.n + rows[:, None], axis=0)
-                  + jnp.take(params["relation"], rel, axis=0))
-            pai = jnp.sum(tr * jnp.tanh(hr), axis=-1)            # [Nb, K]
-            soft = ell_softmax(part, pai)
-            att_parts.append(ell_lib.Ell(idx=part.idx, val=soft, deg=part.deg))
-            offset += part.idx.shape[0]
+        if self.dense:
+            # sector-stacked scores -> ONE [N, N] row-softmax attention matrix
+            # P, streamed through the MXU by the three propagation layers.
+            qhat, khat = dense_adj.sector_stack(q, proj, self.segs, REL_OF)
+            p_att = dense_adj.dense_row_softmax_scores(qhat, khat,
+                                                       gdev["mask"])
 
-        def att_mm(x):
-            outs = [jnp.einsum("nk,nkd->nd", p.val, jnp.take(x, p.idx, axis=0))
-                    for p in att_parts]
-            return jnp.take(jnp.concatenate(outs, axis=0), adj.inv_perm, axis=0)
+            def att_mm(x):
+                return p_att @ x
+        else:
+            # attention over the (relation, node)-keyed map is a pure per-edge
+            # dot product — scores and their cotangents are gathers (no
+            # scatter-add anywhere in the step).
+            em, emk = gdev["em"], gdev["emk"]
+            pai_k = emap.edge_dot(emk, q.reshape(-1, cfg.dim_relation),
+                                  proj.reshape(-1, cfg.dim_relation))
+            pai = emap.slot_transfer(pai_k, gdev["k2n"], gdev["n2k"])
+            att = emap.edge_softmax(em, pai)
+
+            def att_mm(x):
+                return emap.edge_reduce(em, att, x)
 
         x = all_embed
         outs = [x]

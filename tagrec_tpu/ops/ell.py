@@ -177,6 +177,82 @@ def buckets_to_device(h: EllBucketsHost) -> EllBuckets:
                       inv_perm=jnp.asarray(h.inv_perm))
 
 
+def build_ell_buckets_slots(row, col, val, n_rows: int, n_cols: int,
+                            boundaries: Tuple[int, ...] | None = None,
+                            pad_multiple: int = 8):
+    """build_ell_buckets + per-edge slot tracking.
+
+    Returns ``(EllBucketsHost, slot_of_edge)`` where ``slot_of_edge[e]`` is the
+    flat position of input edge ``e`` in the concatenation of the bucket tables
+    (bucket order, each bucket row-major [Nb*Kb]).  This is the substrate for
+    the fwd<->transpose slot bijections of ops.edgemap (scatter-free VJPs).
+
+    Unlike ``build_ell_buckets``, degree-0 rows get their own ZERO-WIDTH
+    bucket (tables [Nb, 0]) instead of being padded into the first bucket —
+    essential for keyed row spaces (e.g. (relation, node) composite keys,
+    ops.edgemap.build_keyed_edge_map) where most rows are empty and 8-wide
+    padding would dominate the gather volume.
+    """
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    val = np.asarray(val, dtype=np.float32)
+    n_edges = len(row)
+    deg = np.bincount(row, minlength=n_rows)
+    order = np.argsort(row, kind="stable")
+    row_s, col_s, val_s = row[order], col[order], val[order]
+
+    if boundaries is None:
+        boundaries = auto_boundaries(deg)
+    bounds = list(boundaries) + [max(int(deg.max()) if n_edges else 1, 1)]
+
+    # slot position of each (row-sorted) edge within its row
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(deg, out=starts[1:])
+    slot_in_row = np.arange(n_edges, dtype=np.int64) - starts[row_s]
+
+    lo = 0
+    buckets, rows_list = [], []
+    zero_rows = np.where(deg == 0)[0]
+    if len(zero_rows):
+        buckets.append(EllHost(idx=np.zeros((len(zero_rows), 0), np.int32),
+                               val=np.zeros((len(zero_rows), 0), np.float32),
+                               deg=np.zeros(len(zero_rows), np.int32),
+                               n_cols=n_cols))
+        rows_list.append(zero_rows)
+    slot_of_sorted = np.zeros(n_edges, dtype=np.int64)
+    flat_offset = 0
+    for b in bounds:
+        sel = np.where((deg > lo) & (deg <= b))[0]
+        lo = b
+        if len(sel) == 0:
+            continue
+        sel_mask = np.zeros(n_rows, dtype=bool)
+        sel_mask[sel] = True
+        e_mask = sel_mask[row_s]
+        local_of = np.full(n_rows, -1, dtype=np.int64)
+        local_of[sel] = np.arange(len(sel))
+        local_rows = local_of[row_s[e_mask]]
+        h = build_ell(local_rows, col_s[e_mask], val_s[e_mask],
+                      len(sel), n_cols, pad_multiple=pad_multiple)
+        k = h.idx.shape[1]
+        slot_of_sorted[e_mask] = (flat_offset + local_rows * k
+                                  + slot_in_row[e_mask])
+        flat_offset += len(sel) * k
+        buckets.append(h)
+        rows_list.append(sel)
+        if len(deg) and b >= deg.max():
+            break
+    perm = (np.concatenate(rows_list) if rows_list
+            else np.zeros(0, dtype=np.int64))
+    inv_perm = np.empty(n_rows, dtype=np.int64)
+    inv_perm[perm] = np.arange(n_rows)
+    slot_of_edge = np.empty(n_edges, dtype=np.int64)
+    slot_of_edge[order] = slot_of_sorted
+    host = EllBucketsHost(buckets=buckets, rows=rows_list, inv_perm=inv_perm,
+                          n_rows=n_rows, n_cols=n_cols)
+    return host, slot_of_edge
+
+
 class HybridHost(NamedTuple):
     """Hybrid adjacency: dense hub-column block + ELL tail.
 
