@@ -61,6 +61,8 @@ def main():
         label, over = name, {}
         if name == "kgat+prop":
             name, over = "kgat", {"agg_type": "bi_inter"}
+        elif name.endswith("+bf16"):
+            name, over = name[:-5], {"adj_dtype": "bf16"}
         mcfg = model_preset(name, reg=1e-4, **over)
         tcfg = TrainConfig(train_batch=args.batch)
         pipe = build_pipeline(graph, mcfg, tcfg)

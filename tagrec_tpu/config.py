@@ -35,6 +35,10 @@ class ModelConfig:
     #             degree-bucketed ELL / edgemap formulation
     #   "dense" / "ell" — force one path (ell is the sharded-regime format)
     adj_mode: str = "auto"
+    # Dense-adjacency stream dtype for the CONSTANT adjacencies
+    # (LightGCN/NGCF): "f32" (default, bit-parity with the torch mirrors) or
+    # "bf16" (halves the hot matmul's HBM traffic; f32 accumulation).
+    adj_dtype: str = "f32"
     message_drop_list: Tuple[float, ...] = (0.0, 0.0, 0.0)
     node_drop: float = 0.0  # edge-dropout keep prob knob (reference model/help/adj.py:170)
     reg: float = 0.0

@@ -35,6 +35,7 @@ from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
 from tagrec_tpu.ops import dense_adj
 from tagrec_tpu.ops import edgemap as emap
+from tagrec_tpu.ops import flash_attention
 from tagrec_tpu.ops import losses
 from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
 
@@ -78,12 +79,16 @@ class KGAT:
         # mode), bucketed edge maps otherwise.
         self.dense = (kg is None
                       and dense_adj.use_dense(cfg.adj_mode, self.n, self.n))
+        self.flash = self.dense and cfg.adj_mode != "dense_xla"
         if self.dense:
-            self._mask_host = dense_adj.dense_mask_host(rows, cols, self.n,
-                                                        self.n)
             self.segs = ((0, graph.n_user),
                          (graph.n_user, graph.n_item),
                          (graph.n_user + graph.n_item, graph.n_tag))
+            if self.flash:
+                self._flash_masks = self._build_flash_masks(rows, cols, rels)
+            else:
+                self._mask_host = dense_adj.dense_mask_host(rows, cols,
+                                                            self.n, self.n)
             return
         # TWO EdgeMaps over the same edges: a node-keyed map for the
         # row-softmax over each head's out-edges (torch.sparse.softmax dim=1,
@@ -100,7 +105,34 @@ class KGAT:
         self._k2n, self._n2k = emap.cross_slot_maps(self._emk_host,
                                                     self._em_host)
 
+    def _build_flash_masks(self, rows, cols, rels):
+        """Per-row-type sector-pair masks in the two-segment padded column
+        layout consumed by ops.flash_attention.dot_flash_* (int8, host)."""
+        import numpy as np
+
+        tile = flash_attention.TILE_I
+
+        def pad_len(x):
+            return -(-x // tile) * tile
+
+        masks = []
+        for a in range(3):
+            c1, c2 = [c for c in range(3) if c != a]
+            sa, la = self.segs[a]
+            s1, l1 = self.segs[c1]
+            s2, l2 = self.segs[c2]
+            m = np.zeros((pad_len(la), pad_len(l1) + pad_len(l2)), np.int8)
+            for c, (sc, lc), off in ((c1, (s1, l1), 0),
+                                     (c2, (s2, l2), pad_len(l1))):
+                r = REL_OF[a][c]
+                sel = rels == r
+                m[rows[sel] - sa, cols[sel] - sc + off] = 1
+            masks.append(m)
+        return masks
+
     def device_data(self):
+        if self.dense and self.flash:
+            return {"fmasks": tuple(jnp.asarray(m) for m in self._flash_masks)}
         if self.dense:
             return {"mask": jnp.asarray(self._mask_host)}
         return {"em": emap.to_device(self._em_host),
@@ -129,6 +161,49 @@ class KGAT:
             params["mat"][f"b2_{k}"] = base.xavier_uniform(ks[7 + 4 * k], (1, d_out))
         return params
 
+    def _flash_att_mm(self, q, proj, fmasks):
+        """Flash-attention propagation: per row type, one stats sweep over the
+        two-segment column layout (softmax spans ALL of a head's out-edges,
+        model/kgat.py:97), then P is rebuilt tile-wise for every layer matmul
+        and for the flash backward — [N, N] never exists in HBM."""
+        tile = flash_attention.TILE_I
+
+        def pad0(t):
+            return flash_attention._pad_axis(t, tile, 0)
+
+        plans = []
+        for a in range(3):
+            c1, c2 = [c for c in range(3) if c != a]
+            r1, r2 = REL_OF[a][c1], REL_OF[a][c2]
+            sa, la = self.segs[a]
+            s1, l1 = self.segs[c1]
+            s2, l2 = self.segs[c2]
+            q2 = jnp.stack([pad0(q[r1, sa:sa + la]),
+                            pad0(q[r2, sa:sa + la])])
+            kcat = jnp.concatenate([pad0(proj[r1, s1:s1 + l1]),
+                                    pad0(proj[r2, s2:s2 + l2])])
+            split_j = (-(-l1 // tile) * tile) // flash_attention.TILE_J
+            # stats are a redundant reparameterization of softmax(S) — the
+            # apply op's flash backward carries the whole gradient, so the
+            # stats sweep itself must not be differentiated
+            ms, zs = flash_attention.dot_flash_stats(
+                jax.lax.stop_gradient(q2), jax.lax.stop_gradient(kcat),
+                fmasks[a], split_j)
+            plans.append((q2, kcat, ms, zs, split_j, la, (s1, l1, s2, l2)))
+
+        def att_mm(x):
+            outs = []
+            for a, (q2, kcat, ms, zs, split_j, la, (s1, l1, s2, l2)) in \
+                    enumerate(plans):
+                xcat = jnp.concatenate([pad0(x[s1:s1 + l1]),
+                                        pad0(x[s2:s2 + l2])])
+                out = flash_attention.dot_flash_apply(
+                    q2, kcat, fmasks[a], ms, zs, xcat, split_j)
+                outs.append(out[:la])
+            return jnp.concatenate(outs, axis=0)
+
+        return att_mm
+
     def _propagate(self, params, all_embed, gdev, training, key):
         """bi-interaction propagation over the attention adjacency."""
         cfg = self.cfg
@@ -138,7 +213,9 @@ class KGAT:
         proj = jnp.einsum("nd,rde->rne", all_embed, params["transE"])
         q = jnp.tanh(proj + params["relation"][:, None, :])
 
-        if self.dense:
+        if self.dense and self.flash:
+            att_mm = self._flash_att_mm(q, proj, gdev["fmasks"])
+        elif self.dense:
             # sector-stacked scores -> ONE [N, N] row-softmax attention matrix
             # P, streamed through the MXU by the three propagation layers.
             qhat, khat = dense_adj.sector_stack(q, proj, self.segs, REL_OF)

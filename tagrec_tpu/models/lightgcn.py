@@ -33,8 +33,10 @@ class LightGCN:
         coo = graph.joint_norm_adj(cfg.norm_type, use_tag)
         # degree-bucketed ELL (bounded padding on power-law graphs) with a
         # transpose pair for the scatter-free custom-VJP backward
+        import numpy as _np
         self._adj_host = ell_lib.build_adj_pair(
-            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"))
+            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"),
+            dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16")
 
     # ------------------------------------------------------------------ data
     def device_data(self):

@@ -34,8 +34,10 @@ class NGCF:
         coo = graph.joint_norm_adj(cfg.norm_type, use_tag)
         # degree-bucketed ELL (bounded padding on power-law graphs) with a
         # transpose pair for the scatter-free custom-VJP backward
+        import numpy as _np
         self._adj_host = ell_lib.build_adj_pair(
-            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"))
+            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"),
+            dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16")
 
     def device_data(self):
         return {"adj": ell_lib.adj_pair_to_device(self._adj_host)}

@@ -280,12 +280,18 @@ def _empty_buckets(n_rows: int, n_cols: int) -> EllBucketsHost:
                           n_rows=n_rows, n_cols=n_cols)
 
 
-def build_dense(coo) -> HybridHost:
+def build_dense(coo, dtype=np.float32) -> HybridHost:
     """Fully dense adjacency (dense_cols=None + full block): at small/medium
     scale (N*M*4B within budget) one MXU matmul streams the whole adjacency at
-    HBM bandwidth and beats every gather formulation."""
+    HBM bandwidth and beats every gather formulation.  dtype=bfloat16 halves
+    the stream (values are normalization weights; f32 accumulation in the
+    matmul — see ops.propagate.hybrid_mm)."""
+    block = coo.to_dense()
+    if dtype is not np.float32:
+        import jax.numpy as jnp
+        block = np.asarray(jnp.asarray(block, dtype=jnp.bfloat16))
     return HybridHost(ell=_empty_buckets(coo.shape[0], coo.shape[1]),
-                      dense_cols=None, dense_block=coo.to_dense())
+                      dense_cols=None, dense_block=block)
 
 
 def build_hybrid(coo, hub_min_degree: int = 96, max_hub_cols: int = 512,
@@ -348,7 +354,8 @@ DENSE_ADJ_BUDGET_BYTES = 2 << 30  # auto-dense when the full matrix fits this
 def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
                    pad_multiple: int = 8, hub_min_degree: int = 96,
                    max_hub_cols: int = 512, mode: str = "auto",
-                   dense_budget: int = DENSE_ADJ_BUDGET_BYTES) -> AdjPairHost:
+                   dense_budget: int = DENSE_ADJ_BUDGET_BYTES,
+                   dense_dtype=np.float32) -> AdjPairHost:
     """Build fwd + transpose adjacency from a COO.
 
     mode:
@@ -371,7 +378,7 @@ def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
 
     def build_one(c):
         if mode == "dense":
-            return build_dense(c)
+            return build_dense(c, dtype=dense_dtype)
         return build_hybrid(c, hub_min_degree=hub_min_degree,
                             max_hub_cols=max_hub_cols, boundaries=boundaries,
                             pad_multiple=pad_multiple)

@@ -15,8 +15,9 @@ from tagrec_tpu.config import model_preset
 from tagrec_tpu.models import MODEL_REGISTRY
 
 
-def _compare_model(name, tiny_graph, rtol=2e-4, atol=2e-5, **overrides):
-    cfg_d = model_preset(name, reg=1e-4, adj_mode="dense", **overrides)
+def _compare_model(name, tiny_graph, rtol=2e-4, atol=2e-5, mode="dense",
+                   **overrides):
+    cfg_d = model_preset(name, reg=1e-4, adj_mode=mode, **overrides)
     cfg_e = model_preset(name, reg=1e-4, adj_mode="ell", **overrides)
     m_d = MODEL_REGISTRY[name](tiny_graph, cfg_d)
     m_e = MODEL_REGISTRY[name](tiny_graph, cfg_e)
@@ -61,6 +62,15 @@ def test_disengcn_dense_matches_ell(tiny_graph):
 
 def test_disenhan_dense_matches_ell(tiny_graph):
     _compare_model("disenhan", tiny_graph)
+
+
+def test_kgat_dense_xla_matches_ell(tiny_graph):
+    """The chunked-XLA tier (escape hatch behind the Pallas default)."""
+    _compare_model("kgat", tiny_graph, mode="dense_xla", agg_type="bi_inter")
+
+
+def test_dgcf_dense_xla_matches_ell(tiny_graph):
+    _compare_model("dgcf", tiny_graph, mode="dense_xla")
 
 
 def test_dense_chunking_is_shape_safe(tiny_graph):

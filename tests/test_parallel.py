@@ -139,3 +139,44 @@ def test_sharded_eval_metrics_match_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(expect[k]),
                                    rtol=1e-5)
     np.testing.assert_allclose(float(got["auc"]), float(expect_auc), rtol=1e-4)
+
+
+def test_sharded_edgemap_step_matches_single_device(mesh8, tiny_graph):
+    """A learned-adjacency model on the EdgeMap (ELL) path — the sharded-regime
+    format — must train identically under the (data, model) mesh: batch over
+    `data`, EdgeMap tables/embeddings row-sharded or replicated per size."""
+    import optax
+    from tagrec_tpu.config import model_preset
+    from tagrec_tpu.models.dgcf import DGCF
+
+    cfg = model_preset("dgcf", reg=1e-4, adj_mode="ell")
+    model = DGCF(tiny_graph, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gdev = model.device_data()
+    batch = jnp.asarray(np.stack([np.arange(16) % 40, np.arange(16) % 90,
+                                  (np.arange(16) * 3 + 1) % 90], 1),
+                        dtype=jnp.int32)
+    opt = optax.adam(0.01)
+
+    def step(params, opt_state, gdev, batch):
+        def total(p):
+            parts = model.bpr_loss(p, gdev, batch, key=jax.random.PRNGKey(1))
+            return sum(parts)
+
+        loss, grads = jax.value_and_grad(total)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    p1, l1 = jax.jit(step)(params, opt.init(params), gdev, batch)
+
+    params_s = shd.place(params, shd.params_sharding(params, mesh8))
+    gdev_s = jax.tree_util.tree_map(jax.device_put, gdev,
+                                    shd.gdev_sharding(gdev, mesh8))
+    batch_s = jax.device_put(batch, shd.batch_sharded(mesh8))
+    with mesh8:
+        p2, l2 = jax.jit(step)(params_s, opt.init(params_s), gdev_s, batch_s)
+
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
