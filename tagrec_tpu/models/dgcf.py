@@ -110,21 +110,34 @@ class DGCF:
     def _iterate_update_dense(self, state, ego_embed, mask):
         """Dense-mode layer: the score table is the implicit low-rank series
         S_t = 1 + sum_tau U_tau V_tau^T (ops.dense_adj DGCF notes), so routing
-        recomputes score tiles on the MXU instead of holding per-edge slots."""
+        recomputes score tiles on the MXU instead of holding per-edge slots.
+
+        ``state`` is a PYTHON list pair (u_list, v_list) of [F, n, dk] update
+        factors: layers are unrolled (not scanned) so iteration t recomputes
+        scores at its true rank t*dk instead of padding to the final rank —
+        ~2.4x fewer score FLOPs across the 6 iterations.
+        """
         cfg = self.cfg
-        u, v, ti = state
+        u_list, v_list = state
         ego_f = jnp.stack(jnp.split(ego_embed, cfg.factor_k, axis=1), axis=0)
+        f_, n_ = ego_f.shape[0], ego_f.shape[1]
         femb = None
         for _ in range(cfg.iterate_k):
+            if u_list:
+                # flash form: flat [F, n, t*dk]; XLA form: stacked [t, F, n, dk]
+                ueff = jnp.concatenate(u_list, axis=2)
+                veff = jnp.concatenate(v_list, axis=2)
+                us, vs = jnp.stack(u_list), jnp.stack(v_list)
+            else:
+                # iteration 0: S = 1 everywhere -> rank-0 series
+                ueff = jnp.zeros((f_, n_, 8), jnp.float32)
+                veff = jnp.zeros((f_, n_, 8), jnp.float32)
+                us = jnp.zeros((1, f_, n_, self.dim_k), jnp.float32)
+                vs = jnp.zeros_like(us)
             if self.flash:
-                # [F, N, T*dk] low-rank factors; the fused Pallas kernels
-                # recompute score tiles on the MXU (S = 1 + U V^T)
-                t, f_, n_, dk = u.shape
-                ueff = u.transpose(1, 2, 0, 3).reshape(f_, n_, t * dk)
-                veff = v.transpose(1, 2, 0, 3).reshape(f_, n_, t * dk)
                 d = flash_routing.routed_rowsum(ueff, veff, mask, base=1.0)
             else:
-                d = dense_adj.dgcf_dense_degree(u, v, mask)     # [F, n]
+                d = dense_adj.dgcf_dense_degree(us, vs, mask)
             dr = jax.lax.rsqrt(jnp.where(d > 0, d, 1.0))
             dr = jnp.where(d > 0, dr, 0.0)
             scaled = ego_f * dr[:, :, None]
@@ -132,21 +145,18 @@ class DGCF:
                 agg = flash_routing.routed_mm(ueff, veff, mask, scaled,
                                               base=1.0)
             else:
-                agg = dense_adj.dgcf_dense_prop(u, v, mask, scaled)
+                agg = dense_adj.dgcf_dense_prop(us, vs, mask, scaled)
             femb = dr[:, :, None] * agg
             # score update factors (gradients through the score state never
             # reach the loss — the routed adjacency is detached, ref :92 —
             # so the stacks are stored detached)
             t_norm = jnp.tanh(l2_normalize(ego_f, axis=2))
             h_norm = l2_normalize(femb, axis=2)
-            u = jax.lax.dynamic_update_slice(
-                u, jax.lax.stop_gradient(h_norm)[None], (ti, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                v, jax.lax.stop_gradient(t_norm)[None], (ti, 0, 0, 0))
-            ti = ti + 1
+            u_list = u_list + [jax.lax.stop_gradient(h_norm)]
+            v_list = v_list + [jax.lax.stop_gradient(t_norm)]
         layer = l2_normalize(femb, axis=2)
         ego_embed = jnp.transpose(layer, (1, 0, 2)).reshape(layer.shape[1], -1)
-        return (u, v, ti), ego_embed
+        return (u_list, v_list), ego_embed
 
     def forward(self, params, gdev, *, training: bool = False, key=None):
         cfg = self.cfg
@@ -156,28 +166,29 @@ class DGCF:
         # (keeps the traced program size independent of num_layer; DGCF's
         # unrolled form took >10 min to compile at production scale)
         if self.dense:
+            # unrolled layers: the low-rank score series grows per iteration,
+            # so each Pallas sweep runs at its true rank (the traced program
+            # stays small — dense-mode kernels, not the bucketed einsums that
+            # once forced lax.scan for compile time)
             mask = gdev["mask"]
-            t_total = cfg.num_layer * cfg.iterate_k
-            state = (jnp.zeros((t_total, cfg.factor_k, ego.shape[0],
-                                self.dim_k), jnp.float32),
-                     jnp.zeros((t_total, cfg.factor_k, ego.shape[0],
-                                self.dim_k), jnp.float32),
-                     jnp.zeros((), jnp.int32))
+            state = ([], [])
+            outs = [ego]
+            cur = ego
+            for _ in range(cfg.num_layer):
+                state, cur = self._iterate_update_dense(state, cur, mask)
+                outs.append(cur)
+            final = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+            return base.split_nodes(final, self.num_list)
 
-            def layer(carry, _):
-                state, ego = carry
-                state, ego = self._iterate_update_dense(state, ego, mask)
-                return (state, ego), ego
-        else:
-            em, masks = gdev["em"], gdev["masks"]
-            state = tuple(
-                jnp.ones((cfg.factor_k,) + idx.shape, jnp.float32)
-                for idx in em.f_idx)
+        em, masks = gdev["em"], gdev["masks"]
+        state = tuple(
+            jnp.ones((cfg.factor_k,) + idx.shape, jnp.float32)
+            for idx in em.f_idx)
 
-            def layer(carry, _):
-                a_values, ego = carry
-                a_values, ego = self._iterate_update(a_values, ego, em, masks)
-                return (a_values, ego), ego
+        def layer(carry, _):
+            a_values, ego = carry
+            a_values, ego = self._iterate_update(a_values, ego, em, masks)
+            return (a_values, ego), ego
 
         (_, _), layer_outs = jax.lax.scan(layer, (state, ego), None,
                                           length=cfg.num_layer)

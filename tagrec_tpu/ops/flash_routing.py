@@ -65,7 +65,12 @@ def _scores(q_tile, k_tile, base):
 
 def _routed_tile(q_tile, k_tile, m_tile, base):
     s = _scores(q_tile, k_tile, base)
-    p = jax.nn.softmax(s, axis=0)
+    # manual softmax without the max-subtraction pass: both callers' scores
+    # are bounded (DGCF: |S| <= 1 + iterations, unit-normalized update dots;
+    # DisenGCN: |S| <= 1), so exp cannot overflow — saves a VPU sweep over
+    # the [F, TI, TJ] plane (these kernels are VPU-bound, not MXU-bound)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=0, keepdims=True)
     return p * m_tile[None].astype(jnp.float32)
 
 
