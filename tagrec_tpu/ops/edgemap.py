@@ -322,6 +322,52 @@ def _edge_gather_bwd(em, ds):
 edge_gather.defvjp(_edge_gather_fwd, _edge_gather_bwd)
 
 
+def _vgather_raw(em: EdgeMap, x, masked: bool = True):
+    """s[..., rb, k, :] = x[..., idx[rb,k], :]; zero vectors on pads."""
+    out = []
+    for idx, deg in zip(em.f_idx, em.f_deg):
+        s = jnp.take(x, idx, axis=-2)                       # [..., Nb, Kb, D]
+        if masked:
+            m = (jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+                 < deg[:, None])
+            s = jnp.where(m[..., None], s, 0.0)
+        out.append(s)
+    return tuple(out)
+
+
+@jax.custom_vjp
+def edge_vgather(em: EdgeMap, x):
+    """Per-slot VECTOR gather: s[rb, k, :] = x[idx[rb,k], :]; zeros on pads.
+
+    The vector-valued sibling of ``edge_gather`` — serves per-edge neighbor
+    feature loads whose cotangent would otherwise be a scatter-add into the
+    node table (the dominant cost of TGCN's Attention1 backward,
+    model/tgcn.py:11-37).  d x is computed over the precomputed transpose
+    structure: move D into the leading batch axes, ``transpose_vals``, then
+    sum each transpose row's slots — gathers only.
+
+    x: [..., n_cols, D] -> tuple of [..., Nb, Kb, D]
+    """
+    return _vgather_raw(em, x, masked=True)
+
+
+def _edge_vgather_fwd(em, x):
+    return _vgather_raw(em, x, masked=True), em
+
+
+def _edge_vgather_bwd(em, ds):
+    # Padding slots of the fwd side never appear in b_src, so unmasked pad
+    # cotangents are dropped by construction.
+    ds_m = tuple(jnp.moveaxis(s, -1, -3) for s in ds)       # [..., D, Nb, Kb]
+    ds_t = transpose_vals(em, ds_m)                         # [..., D, Mb, Kb']
+    dv = jnp.take(jnp.concatenate([jnp.sum(s, axis=-1) for s in ds_t],
+                                  axis=-1), em.b_inv, axis=-1)   # [..., D, M]
+    return _zero_int_cotangent(em), jnp.moveaxis(dv, -2, -1)
+
+
+edge_vgather.defvjp(_edge_vgather_fwd, _edge_vgather_bwd)
+
+
 def _mask_tuple(em: EdgeMap, vals):
     out = []
     for v, idx, deg in zip(vals, em.f_idx, em.f_deg):
