@@ -6,8 +6,19 @@ Adam lr 0.01 — utility/utils.py defaults) and records best recall@20 / NDCG@20
 The reference publishes no numbers (BASELINE.md), so anchors are produced by
 the mirror and parity is measured against them.
 
-Usage:  python experiments/parity.py [--models lightgcn ngcf ...] [--epochs N]
-Writes: PARITY.md + experiments/parity_results.json
+Scales (--scale):
+  small  — 300u/800i/120t, ~6k inter (round-1 protocol)
+  mid    — 800u/3000i/1000t, 60k inter (the largest the torch-CPU mirror can
+           train for the routing/attention models on this machine's 2 cores)
+  hetrec — 2000u/10000i/3000t, 400k inter (the BENCH graph; reference protocol
+           scale, training/basic_test.py:16-48)
+
+Multi-seed: pass --seeds 2020 2021 2022; results are stored per seed and
+PARITY.md reports mean and spread.  --adj_dtype bf16 runs ours with the bf16
+adjacency for the quality check that decides the prod default.
+
+Usage:  python experiments/parity.py --scale hetrec --models lightgcn --side ours
+Writes: PARITY.md + experiments/parity_results.json (nested scale/model/seed)
 """
 
 import argparse
@@ -42,14 +53,14 @@ def eval_scores(scores: np.ndarray, users, train_ui, test_ui, topks=(10, 20)):
     return out
 
 
-def run_ours(graph, name, epochs, seed=2020):
+def run_ours(graph, name, epochs, seed=2020, adj_dtype="f32"):
     import jax
     from tagrec_tpu.compose import build_pipeline
     from tagrec_tpu.config import TrainConfig, model_preset
     from tagrec_tpu.training.early_stop import EarlyStop
     from tagrec_tpu.training.train import Trainer
 
-    mcfg = model_preset(name, reg=1e-4)
+    mcfg = model_preset(name, reg=1e-4, adj_dtype=adj_dtype)
     tcfg = TrainConfig(train_batch=512, test_batch=256, epochs=epochs,
                        test_interval=5, patient_epoch=10, lr=0.01, seed=seed)
     pipe = build_pipeline(graph, mcfg, tcfg)
@@ -225,11 +236,35 @@ def _neg_triple(rng, pos_set, n):
             return j
 
 
+SCALES = {
+    "small": dict(kind="small", n_user=300, n_item=800, n_tag=120, avg_deg=20),
+    "mid": dict(kind="large", n_user=800, n_item=3000, n_tag=1000,
+                n_edges=60_000, tag_per_inter=0.3),
+    "hetrec": dict(kind="large", n_user=2000, n_item=10000, n_tag=3000,
+                   n_edges=400_000, tag_per_inter=0.3),
+}
+
+
+def build_scale_graph(scale: str):
+    from tagrec_tpu.data.synthetic import synthetic_graph, synthetic_graph_large
+
+    s = dict(SCALES[scale])
+    kind = s.pop("kind")
+    if kind == "small":
+        return synthetic_graph(seed=0, **s)
+    return synthetic_graph_large(seed=0, **s)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="+",
                     default=["lightgcn", "ngcf", "dgcf"])
     ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--scale", choices=sorted(SCALES), default="small")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[2020])
+    ap.add_argument("--adj_dtype", choices=["f32", "bf16"], default="f32",
+                    help="ours-side adjacency dtype (bf16 quality check); "
+                         "bf16 results are stored under key 'tagrec_tpu_bf16'")
     ap.add_argument("--out", default="experiments/parity_results.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU chip free)")
@@ -240,54 +275,107 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from tagrec_tpu.data.synthetic import synthetic_graph
+    graph = build_scale_graph(args.scale)
+    ours_key = "tagrec_tpu" if args.adj_dtype == "f32" else "tagrec_tpu_bf16"
 
-    graph = synthetic_graph(n_user=300, n_item=800, n_tag=120, avg_deg=20,
-                            seed=0)
     results = {}
     if os.path.exists(args.out):
         results = json.load(open(args.out))
-    for name in args.models:
-        results.setdefault(name, {})
-        if args.side in ("ours", "both"):
-            print(f"=== {name}: ours ===", flush=True)
-            ours = run_ours(graph, name, args.epochs)
-            print(name, "ours:", ours, flush=True)
-            results[name]["tagrec_tpu"] = ours
-        if args.side in ("mirror", "both"):
-            print(f"=== {name}: torch mirror ===", flush=True)
-            ref = run_mirror(graph, name, args.epochs)
-            print(name, "mirror:", ref, flush=True)
-            results[name]["reference_mirror"] = ref
-        r = results[name]
-        if "tagrec_tpu" in r and "reference_mirror" in r:
-            o, m = r["tagrec_tpu"], r["reference_mirror"]
-            r["recall20_ratio"] = round(o["recall@20"] /
-                                        max(m["recall@20"], 1e-9), 3)
-            r["ndcg20_ratio"] = round(o["ndcg@20"] /
-                                      max(m["ndcg@20"], 1e-9), 3)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2, default=float)
+    # round-1 file layout was {model: {...}} at small scale; nest it
+    if results and "small" not in results and not any(
+            k in SCALES for k in results):
+        results = {"small": {m: {"2020": r} for m, r in results.items()}}
 
-    # PARITY.md summary
-    lines = ["# PARITY — tagrec_tpu vs reference-semantics torch mirrors\n",
-             "Protocol: same synthetic tag graph (300u/800i/120t), same init, "
-             "reference training protocol (batch 512, Adam lr 0.01, eval "
-             "every 5 epochs, patience 10 on NDCG@10).\n",
-             "| model | ours recall@20 | mirror recall@20 | ours ndcg@20 | "
-             "mirror ndcg@20 | recall ratio | ndcg ratio |",
-             "|---|---|---|---|---|---|---|"]
-    for name, r in results.items():
-        if "tagrec_tpu" not in r or "reference_mirror" not in r:
-            continue
-        o, m = r["tagrec_tpu"], r["reference_mirror"]
-        lines.append(
-            f"| {name} | {o['recall@20']:.4f} | {m['recall@20']:.4f} | "
-            f"{o['ndcg@20']:.4f} | {m['ndcg@20']:.4f} | "
-            f"{r['recall20_ratio']} | {r['ndcg20_ratio']} |")
-    with open("PARITY.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    for name in args.models:
+        sc = results.setdefault(args.scale, {}).setdefault(name, {})
+        for seed in args.seeds:
+            r = sc.setdefault(str(seed), {})
+            if args.side in ("ours", "both") and ours_key not in r:
+                print(f"=== {args.scale}/{name}/s{seed}: ours "
+                      f"({args.adj_dtype}) ===", flush=True)
+                ours = run_ours(graph, name, args.epochs, seed=seed,
+                                adj_dtype=args.adj_dtype)
+                print(name, "ours:", ours, flush=True)
+                r[ours_key] = ours
+            if args.side in ("mirror", "both") and "reference_mirror" not in r:
+                print(f"=== {args.scale}/{name}/s{seed}: torch mirror ===",
+                      flush=True)
+                ref = run_mirror(graph, name, args.epochs, seed=seed)
+                print(name, "mirror:", ref, flush=True)
+                r["reference_mirror"] = ref
+            if "tagrec_tpu" in r and "reference_mirror" in r:
+                o, m = r["tagrec_tpu"], r["reference_mirror"]
+                r["recall20_ratio"] = round(o["recall@20"] /
+                                            max(m["recall@20"], 1e-9), 3)
+                r["ndcg20_ratio"] = round(o["ndcg@20"] /
+                                          max(m["ndcg@20"], 1e-9), 3)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2, default=float)
+
+    write_parity_md(results)
     print("wrote PARITY.md", flush=True)
+
+
+def write_parity_md(results, path="PARITY.md"):
+    lines = [
+        "# PARITY — tagrec_tpu vs reference-semantics torch mirrors\n",
+        "Protocol: same synthetic tag graph per scale, same init, reference "
+        "training protocol (batch 512, Adam lr 0.01, eval every 5 epochs, "
+        "patience 10 on NDCG@10).  Scales: small = 300u/800i/120t; "
+        "mid = 800u/3000i/1000t/60k; hetrec = 2000u/10000i/3000t/400k "
+        "(the BENCH graph).  Multi-seed rows show mean [min..max] over "
+        "seeds.\n",
+    ]
+    for scale in ("small", "mid", "hetrec"):
+        if scale not in results:
+            continue
+        lines += [f"\n## {scale}\n",
+                  "| model | seeds | ours recall@20 | mirror recall@20 | "
+                  "ours ndcg@20 | mirror ndcg@20 | recall ratio | ndcg ratio |",
+                  "|---|---|---|---|---|---|---|---|"]
+        for name, sc in sorted(results[scale].items()):
+            o_r, m_r, o_n, m_n = [], [], [], []
+            for seed, r in sorted(sc.items()):
+                if "tagrec_tpu" in r:
+                    o_r.append(r["tagrec_tpu"]["recall@20"])
+                    o_n.append(r["tagrec_tpu"]["ndcg@20"])
+                if "reference_mirror" in r:
+                    m_r.append(r["reference_mirror"]["recall@20"])
+                    m_n.append(r["reference_mirror"]["ndcg@20"])
+            if not o_r or not m_r:
+                continue
+
+            def fmt(xs):
+                m = sum(xs) / len(xs)
+                if len(xs) == 1:
+                    return f"{m:.4f}"
+                return f"{m:.4f} [{min(xs):.4f}..{max(xs):.4f}]"
+
+            rr = (sum(o_r) / len(o_r)) / max(sum(m_r) / len(m_r), 1e-9)
+            nr = (sum(o_n) / len(o_n)) / max(sum(m_n) / len(m_n), 1e-9)
+            lines.append(
+                f"| {name} | {max(len(o_r), len(m_r))} | {fmt(o_r)} | "
+                f"{fmt(m_r)} | {fmt(o_n)} | {fmt(m_n)} | {rr:.3f} | "
+                f"{nr:.3f} |")
+        # bf16 quality rows (ours f32 vs ours bf16, mirror-independent)
+        bf_lines = []
+        for name, sc in sorted(results[scale].items()):
+            f32s, bf16s = [], []
+            for seed, r in sorted(sc.items()):
+                if "tagrec_tpu" in r and "tagrec_tpu_bf16" in r:
+                    f32s.append(r["tagrec_tpu"]["ndcg@20"])
+                    bf16s.append(r["tagrec_tpu_bf16"]["ndcg@20"])
+            if f32s:
+                ratio = (sum(bf16s) / len(bf16s)) / max(
+                    sum(f32s) / len(f32s), 1e-9)
+                bf_lines.append(f"| {name} | {sum(f32s)/len(f32s):.4f} | "
+                                f"{sum(bf16s)/len(bf16s):.4f} | {ratio:.3f} |")
+        if bf_lines:
+            lines += ["\nbf16 adjacency quality (ours, ndcg@20):\n",
+                      "| model | f32 | bf16 | ratio |", "|---|---|---|---|"]
+            lines += bf_lines
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--group_k", type=int, default=4)
     p.add_argument("--use_kg", action="store_true",
                    help="KGAT: use kg_final.txt (true KG) instead of the tag graph")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (batch axis)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="model-parallel mesh size (embedding/adjacency rows; "
+                        "the true-parallel successor of --split_adj_k)")
+    p.add_argument("--adj_mode", type=str, default="auto",
+                   choices=["auto", "dense", "dense_xla", "ell"],
+                   help="adjacency/attention execution mode (semantics-neutral)")
     p.add_argument("--resume", type=str, default="",
                    help="train-state file for save/resume across restarts")
     return p.parse_args(argv)
@@ -68,6 +76,7 @@ def main(argv=None):
         reg=args.reg,
         cor_reg=args.cor_reg,
         use_tag=not args.no_tag,
+        adj_mode=args.adj_mode,
     )
     tcfg = TrainConfig(
         train_batch=args.train_batch, test_batch=args.test_batch,
@@ -99,7 +108,20 @@ def main(argv=None):
                   f"{kg.num_relation} relations, {len(kg.all_triplet)} triples")
     print(f"graph ready: {graph.num}")
 
-    pipe = build_pipeline(graph, mcfg, tcfg, kg=kg)
+    mesh = None
+    if args.dp * args.mp > 1:
+        from tagrec_tpu.parallel.mesh import make_mesh
+
+        n_dev = args.dp * args.mp
+        if len(jax.devices()) < n_dev:
+            raise SystemExit(
+                f"--dp {args.dp} x --mp {args.mp} needs {n_dev} devices, "
+                f"have {len(jax.devices())} ({jax.default_backend()})")
+        mesh = make_mesh(n_dev, data_parallel=args.dp)
+        print(f"mesh: data={args.dp} model={args.mp} "
+              f"on {jax.default_backend()}")
+
+    pipe = build_pipeline(graph, mcfg, tcfg, kg=kg, mesh=mesh)
     key = jax.random.PRNGKey(tcfg.seed)
     key, k_init = jax.random.split(key)
     params = pipe.model.init(k_init)
@@ -109,7 +131,7 @@ def main(argv=None):
     metrics.text("config", json.dumps({"model": mcfg.__dict__,
                                        "train": tcfg.__dict__}, default=str))
     stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key, save_path=ckpt_path)
-    trainer = Trainer(pipe.phases, tcfg)
+    trainer = Trainer(pipe.phases, tcfg, mesh=mesh)
     trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop,
                 metrics=metrics, state_path=args.resume or None)
 

@@ -33,16 +33,18 @@ class Pipeline:
 
 
 def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
-                   tcfg: TrainConfig, kg=None) -> Pipeline:
+                   tcfg: TrainConfig, kg=None, mesh=None) -> Pipeline:
     """kg: optional data.kg.KnowledgeGraph — switches KGAT to true-KG mode
-    (the reference's dead kgat_load path as live capability)."""
+    (the reference's dead kgat_load path as live capability).
+    mesh: optional (data, model) Mesh — makes evaluation distributed (the
+    Trainer takes the same mesh separately for SPMD training)."""
     name = mcfg.name
     if name == "kgat" and kg is not None:
         model = MODEL_REGISTRY[name](graph, mcfg, kg=kg)
     else:
         model = MODEL_REGISTRY[name](graph, mcfg)
     gdev = model.device_data()
-    evaluator = Evaluator(graph, tcfg)
+    evaluator = Evaluator(graph, tcfg, mesh=mesh)
 
     pt = sampling.build_pos_table(graph.user_items["train"], graph.n_user,
                                   graph.n_item)

@@ -60,3 +60,26 @@ def gdev_sharding(gdev: Any, mesh: Mesh) -> Any:
 
 def place(tree: Any, shardings: Any) -> Any:
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def constrain_params(params: Any, mesh: Mesh) -> Any:
+    """with_sharding_constraint matching :func:`params_sharding` — used inside
+    jit'd train steps to pin updated params to their row shardings (prevents
+    GSPMD from drifting the layout across scan iterations)."""
+    def c(x):
+        spec = row_sharded(mesh) if _shardable(x, mesh) else replicated(mesh)
+        return jax.lax.with_sharding_constraint(x, spec)
+    return jax.tree_util.tree_map(c, params)
+
+
+def constrain_batch(batch: Any, mesh: Mesh) -> Any:
+    """Constrain batch-like leaves (leading dim divisible by the data axis) to
+    the ``data`` axis; leave small/indivisible leaves replicated."""
+    d = mesh.shape["data"]
+
+    def c(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % d == 0 \
+                and x.shape[0] > 0:
+            return jax.lax.with_sharding_constraint(x, batch_sharded(mesh))
+        return jax.lax.with_sharding_constraint(x, replicated(mesh))
+    return jax.tree_util.tree_map(c, batch)

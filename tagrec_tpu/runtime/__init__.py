@@ -95,6 +95,9 @@ def parse_interaction_pairs(path: str) -> np.ndarray:
         from tagrec_tpu.data import io as data_io
         d = data_io.read_interaction_file(path)
         return data_io.interactions_to_edges(d)
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     n = lib.parse_interactions(path.encode(), None, None, 0)
     if n < 0:
         raise IOError(f"cannot parse {path}")
@@ -112,6 +115,9 @@ def parse_triples(path: str) -> np.ndarray:
     if lib is None:
         data = np.loadtxt(path, dtype=np.int64)
         return data[None, :] if data.ndim == 1 else data
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     n = lib.parse_triples(path.encode(), None, 0)
     if n < 0:
         raise IOError(f"cannot parse {path}")

@@ -34,13 +34,36 @@ def save(path: str, tree: Any) -> None:
 
 
 def load(path: str, like: Any) -> Any:
-    """Load arrays saved by :func:`save` into the structure of ``like``."""
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    """Load arrays saved by :func:`save` into the structure of ``like``.
+
+    Validates the tree structure (via the .tree sidecar) and every leaf shape
+    against ``like`` so mismatches fail with a clear message instead of a
+    cryptic unflatten/broadcast error downstream."""
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    data = np.load(npz_path)
     leaves, treedef = _flatten(like)
+    # save() writes the sidecar at the pre-savez path + ".tree"
+    sidecar = next((p for p in (path + ".tree", npz_path + ".tree")
+                    if os.path.exists(p)), None)
+    if sidecar is not None:
+        with open(sidecar) as f:
+            meta = json.load(f)
+        if meta.get("treedef") != str(treedef):
+            raise ValueError(
+                f"checkpoint structure mismatch for {path}:\n"
+                f"  saved:    {meta.get('treedef')}\n"
+                f"  expected: {treedef}")
     if len(leaves) != len(data.files):
         raise ValueError(
             f"checkpoint has {len(data.files)} leaves, expected {len(leaves)}")
-    new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    new_leaves = []
+    for i, like_leaf in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        want = tuple(np.shape(like_leaf))
+        if tuple(arr.shape) != want:
+            raise ValueError(
+                f"checkpoint leaf {i} shape {arr.shape} != expected {want}")
+        new_leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 

@@ -24,8 +24,15 @@ from tagrec_tpu.ops import metrics as M
 
 
 class Evaluator:
-    def __init__(self, graph: HeteroGraph, cfg: TrainConfig):
+    """``mesh``: optional (data, model) Mesh — when given, scoring runs
+    distributed: the item/entity embedding table is row-sharded over the
+    ``model`` axis and each user batch goes through
+    parallel.topk.sharded_eval_metrics (per-shard scoring + top-k merge +
+    count-based AUC) instead of the dense single-device kernel."""
+
+    def __init__(self, graph: HeteroGraph, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.n_item = graph.n_item
         self.pos_ui = graph.user_items["train"]
         self.true_ui: Dict[str, Dict[int, List[int]]] = {}
@@ -60,10 +67,30 @@ class Evaluator:
             self._test_deg[split] = jnp.asarray(te_deg)
 
         self._batch_eval_cache = {}
+        self._forward_cache = {}
 
     # ------------------------------------------------------------------ core
+    def _forward_fn(self, model):
+        """jit'd whole-graph forward — run ONCE per eval pass.
+
+        The reference recomputes the full propagation inside every 512-user
+        predict_rating call (training/basic_test.py:36-40, model/lightgcn.py:84-89);
+        embeddings are batch-independent, so hoisting the forward out of the
+        user-batch loop changes nothing numerically and cuts eval cost by
+        ~n_batches x on the propagation-heavy models (DGCF/TGCN)."""
+        key = id(model)
+        if key not in self._forward_cache:
+            @jax.jit
+            def fwd(params, gdev):
+                embs = model.forward(params, gdev, training=False)
+                return embs[0], embs[1]
+
+            self._forward_cache[key] = fwd
+        return self._forward_cache[key]
+
     def _batch_eval_fn(self, model):
-        """Build the jit'd per-user-batch eval kernel.
+        """Build the jit'd per-user-batch eval kernel over precomputed
+        embeddings (sigmoid(U_sel @ I^T) scoring, the shared predict surface).
 
         The padded positive tables flow as ARGUMENTS (not closures): jit
         constants get pathological layouts on TPU (~100x slower, measured on
@@ -76,8 +103,8 @@ class Evaluator:
         max_k = max(topks)
 
         @jax.jit
-        def batch_eval(params, gdev, users, valid, tables):
-            scores = model.predict(params, gdev, users)
+        def batch_eval(u_all, i_all, users, valid, tables):
+            scores = jax.nn.sigmoid(jnp.take(u_all, users, axis=0) @ i_all.T)
             tp = jnp.take(tables["train_pad"], users, axis=0)
             masked = M.mask_train_positives(scores, tp)
             _, topk_ids = jax.lax.top_k(masked, max_k)
@@ -93,6 +120,32 @@ class Evaluator:
         self._batch_eval_cache[key] = batch_eval
         return batch_eval
 
+    def _sharded_batch_eval_fn(self, n_valid: int):
+        """Distributed per-user-batch eval kernel (mesh mode): sharded scoring
+        + distributed top-k + count-based AUC via parallel.topk."""
+        key = ("sharded", n_valid)
+        if key in self._batch_eval_cache:
+            return self._batch_eval_cache[key]
+
+        from tagrec_tpu.parallel import topk as ptopk
+
+        topks = tuple(self.cfg.topks)
+        mesh = self.mesh
+
+        @jax.jit
+        def batch_eval(u_all, i_shard, users, valid, tables):
+            u_sel = jnp.take(u_all, users, axis=0)
+            tp = jnp.take(tables["train_pad"], users, axis=0)
+            te = jnp.take(tables["test_pad"], users, axis=0)
+            td = jnp.take(tables["test_deg"], users, axis=0)
+            trd = jnp.take(tables["train_deg"], users, axis=0)
+            return ptopk.sharded_eval_metrics(
+                u_sel, i_shard, tp, te, td, trd, valid, topks, mesh,
+                n_valid=n_valid)
+
+        self._batch_eval_cache[key] = batch_eval
+        return batch_eval
+
     def run(self, model, params, gdev, istest: bool = False,
             group_k: int = 0) -> Dict:
         """Evaluate; returns {metric: [per-k values]} (+ 'auc': [mean]).
@@ -102,20 +155,30 @@ class Evaluator:
         """
         split = "val" if (not istest and self.cfg.has_val) else "test"
         true_ui = self.true_ui[split]
+        # ONE whole-graph forward per eval pass (shared across user batches
+        # and group buckets); scoring is per batch.
+        u_all, i_all = self._forward_fn(model)(params, gdev)
+        n_valid = None
+        if self.mesh is not None:
+            from tagrec_tpu.parallel import topk as ptopk
+            i_all, n_valid = ptopk.shard_items(i_all, self.mesh)
 
         if group_k > 1:
             groups = user_group_split(true_ui, self.pos_ui, group_k)
             out = {}
             for bound, users in groups.items():
                 out[f"inter<{bound}-{len(users)}"] = self._eval_users(
-                    model, params, gdev, split, users)
+                    model, u_all, i_all, split, users, n_valid)
             return out
-        return self._eval_users(model, params, gdev, split,
-                                sorted(true_ui.keys()))
+        return self._eval_users(model, u_all, i_all, split,
+                                sorted(true_ui.keys()), n_valid)
 
-    def _eval_users(self, model, params, gdev, split: str,
-                    users: List[int]) -> Dict:
-        fn = self._batch_eval_fn(model)
+    def _eval_users(self, model, u_all, i_all, split: str,
+                    users: List[int], n_valid: Optional[int] = None) -> Dict:
+        if self.mesh is not None:
+            fn = self._sharded_batch_eval_fn(n_valid)
+        else:
+            fn = self._batch_eval_fn(model)
         tables = {"train_pad": self._train_pad, "train_deg": self._train_deg,
                   "test_pad": self._test_pad[split],
                   "test_deg": self._test_deg[split]}
@@ -129,7 +192,7 @@ class Evaluator:
 
         acc = None
         for i in range(0, n_pad, bsz):
-            sums = fn(params, gdev, jnp.asarray(users_arr[i:i + bsz]),
+            sums = fn(u_all, i_all, jnp.asarray(users_arr[i:i + bsz]),
                       jnp.asarray(valid[i:i + bsz]), tables)
             sums = jax.tree_util.tree_map(np.asarray, sums)
             acc = sums if acc is None else jax.tree_util.tree_map(

@@ -88,9 +88,15 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
     """DGCF-family phase (DGCF_training_data, train_data/bpr_training_data.py:47-84):
     every step samples ``batch`` users, one positive and one negative each,
     plus ``cor_batch`` correlation-sample ids per node type for the
-    distance-correlation regularizer."""
+    distance-correlation regularizer.
+
+    User draws match the reference exactly in distribution
+    (train_data/utils.py:58-64): WITHOUT replacement within a batch when
+    enough users exist (a fresh permutation prefix per step), with
+    replacement otherwise."""
     cor_sizes = cor_sizes or {}
     n_users = len(user_ids)
+    without_replacement = n_users >= batch
     data = {"users": jnp.asarray(user_ids, dtype=jnp.int32), "pt": pos_table}
 
     def epoch_reset(key, data):
@@ -98,7 +104,10 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
 
     def make_batch(key, i, _, data):
         k_u, k_p, k_n, k_c = jax.random.split(key, 4)
-        sel = jax.random.randint(k_u, (batch,), 0, n_users)
+        if without_replacement:
+            sel = jax.random.permutation(k_u, n_users)[:batch]
+        else:
+            sel = jax.random.randint(k_u, (batch,), 0, n_users)
         users = jnp.take(data["users"], sel)
         pos = sampling.sample_positive(k_p, data["pt"], users)
         neg = sampling.sample_negatives(k_n, data["pt"], users,
@@ -155,13 +164,21 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
 
 
 class Trainer:
-    """Runs phases over one shared optimizer state; see module docstring."""
+    """Runs phases over one shared optimizer state; see module docstring.
+
+    ``mesh``: optional (data, model) jax.sharding.Mesh (parallel.mesh) — when
+    given, the whole-epoch jit runs SPMD: embedding-table rows and graph
+    tables are sharded over ``model`` (the true-parallel successor of the
+    reference's sequential --split_adj_k row folds, model/help/adj.py:114-167),
+    batches over ``data``; XLA inserts the all-gathers/psums."""
 
     def __init__(self, phases: List[PhaseSpec], cfg: TrainConfig,
-                 optimizer: Optional[optax.GradientTransformation] = None):
+                 optimizer: Optional[optax.GradientTransformation] = None,
+                 mesh=None):
         self.phases = phases
         self.cfg = cfg
         self.opt = optimizer or optax.adam(cfg.lr)
+        self.mesh = mesh
         self._epoch_fns = {}
 
     def init_opt_state(self, params):
@@ -172,6 +189,7 @@ class Trainer:
             return self._epoch_fns[phase.name]
         opt = self.opt
         steps = phase.steps_per_epoch
+        mesh = self.mesh
 
         @jax.jit
         def run_epoch(params, opt_state, key, gdev, data):
@@ -182,6 +200,9 @@ class Trainer:
                 params, opt_state, key = carry
                 key, k_batch, k_loss = jax.random.split(key, 3)
                 batch = phase.make_batch(k_batch, i, epoch_data, data)
+                if mesh is not None:
+                    from tagrec_tpu.parallel import sharding as shd
+                    batch = shd.constrain_batch(batch, mesh)
 
                 def total_loss(p):
                     parts = phase.loss_fn(p, gdev, batch, k_loss)
@@ -191,6 +212,9 @@ class Trainer:
                     total_loss, has_aux=True)(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
+                if mesh is not None:
+                    from tagrec_tpu.parallel import sharding as shd
+                    params = shd.constrain_params(params, mesh)
                 return (params, opt_state, key), parts
 
             (params, opt_state, key), parts = jax.lax.scan(
@@ -219,6 +243,15 @@ class Trainer:
             params, opt_state, start_ep = ckpt.restore_train_state(
                 state_path, params, opt_state)
             log(f"resumed from {state_path} at epoch {start_ep}")
+        if self.mesh is not None:
+            # SPMD placement: row-shard tables over `model`, replicate the
+            # rest; opt_state mirrors the params layout (Adam moments are
+            # per-parameter).  Graph tables shard by row where divisible.
+            from tagrec_tpu.parallel import sharding as shd
+            params = shd.place(params, shd.params_sharding(params, self.mesh))
+            opt_state = shd.place(opt_state,
+                                  shd.params_sharding(opt_state, self.mesh))
+            gdev = shd.place(gdev, shd.gdev_sharding(gdev, self.mesh))
         for ep in range(start_ep, cfg.epochs):
             for pi, phase in enumerate(self.phases):
                 t0 = time.time()

@@ -1,0 +1,52 @@
+"""Product-path SPMD: the CLI with --dp/--mp on the 8-device CPU mesh must
+reproduce single-device metrics (VERDICT r1 item 1 — distribution wired into
+Trainer/Evaluator/compose/cli, not just tests).
+
+DGCF is the hard case: learned adjacency on the EdgeMap (ELL) tier, per-step
+user resampling, correlation ids — the full PhaseSpec surface.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _run_cli(tmp_path, tag, extra):
+    from tagrec_tpu import cli
+
+    out = os.path.join(str(tmp_path), tag)
+    argv = ["--model", "dgcf", "--dataset", "synthetic",
+            "--train_batch", "128", "--epochs", "2", "--test_interval", "1",
+            "--patient_epoch", "2", "--group_k", "1", "--reg", "1e-4",
+            "--out_dir", out] + extra
+    cli.main(argv)
+    # find the single timestamped run dir
+    runs = []
+    for root, _, files in os.walk(out):
+        if "results.json" in files:
+            runs.append(os.path.join(root, "results.json"))
+    assert len(runs) == 1, runs
+    with open(runs[0]) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_cli_dp_mp_matches_single_device(tmp_path):
+    import jax
+
+    assert len(jax.devices()) >= 8
+    single = _run_cli(tmp_path, "single", [])
+    meshed = _run_cli(tmp_path, "mesh", ["--dp", "4", "--mp", "2"])
+
+    for metric in ("recall", "precision", "hr", "ndcg"):
+        np.testing.assert_allclose(
+            np.asarray(meshed["test"][metric]),
+            np.asarray(single["test"][metric]), rtol=2e-3, atol=1e-5,
+            err_msg=metric)
+    # count-based distributed AUC vs argsort AUC: equal up to fp ties
+    np.testing.assert_allclose(np.asarray(meshed["test"]["auc"]),
+                               np.asarray(single["test"]["auc"]),
+                               rtol=5e-3)
+    assert meshed["best_epoch"] == single["best_epoch"]

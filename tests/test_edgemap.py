@@ -180,6 +180,109 @@ def test_edge_gather_grad_matches_autodiff(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_edge_vgather_matches(setup):
+    coo, host, em = setup
+    rng = np.random.default_rng(10)
+    D = 6
+    x = jnp.asarray(rng.standard_normal((coo.shape[1], D)).astype(np.float32))
+    s = emap.edge_vgather(em, x)
+    xn = np.asarray(x)
+    for st, idx, deg in zip(s, em.f_idx, em.f_deg):
+        st, idx, deg = map(np.asarray, (st, idx, deg))
+        k = np.arange(idx.shape[1])[None, :, None]
+        np.testing.assert_allclose(st, xn[idx] * (k < deg[:, None, None]),
+                                   rtol=1e-5)
+
+
+def test_edge_vgather_grad_matches_autodiff(setup):
+    """Custom VJP vs plain autodiff of the raw gather, and vs a numpy
+    scatter-add oracle — including an UNMASKED pad cotangent (ones on every
+    slot fed through jax.vjp: pad contributions must be dropped)."""
+    coo, host, em = setup
+    rng = np.random.default_rng(11)
+    D = 5
+    x = jnp.asarray(rng.standard_normal((coo.shape[1], D)).astype(np.float32))
+    masks = em.masks()
+    w = tuple(jnp.asarray(rng.standard_normal(m.shape + (D,)).astype(np.float32))
+              for m in masks)
+
+    def f_custom(xx):
+        s = emap.edge_vgather(em, xx)
+        return sum(jnp.sum(st * wt) for st, wt in zip(s, w))
+
+    def f_raw(xx):
+        out = 0.0
+        for idx, m, wt in zip(em.f_idx, masks, w):
+            out = out + jnp.sum(jnp.take(xx, idx, axis=0)
+                                * m[..., None] * wt)
+        return out
+
+    g1 = jax.grad(f_custom)(x)
+    g2 = jax.grad(f_raw)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+    # numpy scatter-add oracle for the masked-weight cotangent
+    want = np.zeros((coo.shape[1], D), np.float64)
+    for idx, m, wt in zip(em.f_idx, masks, w):
+        idxn, mn, wn = map(np.asarray, (idx, m, wt))
+        contrib = mn[..., None] * wn                        # [Nb, Kb, D]
+        np.add.at(want, idxn.ravel(),
+                  contrib.reshape(-1, D).astype(np.float64))
+    np.testing.assert_allclose(np.asarray(g1), want, rtol=1e-4, atol=1e-5)
+
+    # unmasked all-ones cotangent through jax.vjp: pads must contribute zero
+    _, vjp = jax.vjp(lambda xx: emap.edge_vgather(em, xx), x)
+    ones = tuple(jnp.ones(st.shape, jnp.float32)
+                 for st in emap.edge_vgather(em, x))
+    (dv,) = vjp(ones)
+    want2 = np.zeros((coo.shape[1], D), np.float64)
+    for idx, m in zip(em.f_idx, masks):
+        idxn, mn = np.asarray(idx), np.asarray(m)
+        np.add.at(want2, idxn.ravel(),
+                  np.broadcast_to(mn[..., None], mn.shape + (D,))
+                  .reshape(-1, D).astype(np.float64))
+    np.testing.assert_allclose(np.asarray(dv), want2, rtol=1e-4, atol=1e-5)
+
+
+def test_edge_vgather_leading_axis(setup):
+    """edge_vgather broadcasts over a leading factor axis and grads flow."""
+    coo, host, em = setup
+    rng = np.random.default_rng(12)
+    F, D = 3, 4
+    x = jnp.asarray(rng.standard_normal((F, coo.shape[1], D)).astype(np.float32))
+    s = emap.edge_vgather(em, x)
+    assert s[0].shape == (F,) + em.f_idx[0].shape + (D,)
+    xn = np.asarray(x)
+    for st, idx, deg in zip(s, em.f_idx, em.f_deg):
+        st, idx, deg = map(np.asarray, (st, idx, deg))
+        k = np.arange(idx.shape[1])[None, :, None]
+        for f in range(F):
+            np.testing.assert_allclose(
+                st[f], xn[f][idx] * (k < deg[:, None, None]), rtol=1e-5)
+
+    masks = em.masks()
+    w = tuple(jnp.asarray(
+        rng.standard_normal((F,) + m.shape + (D,)).astype(np.float32))
+        for m in masks)
+
+    def f_custom(xx):
+        s = emap.edge_vgather(em, xx)
+        return sum(jnp.sum(st * wt) for st, wt in zip(s, w))
+
+    def f_raw(xx):
+        out = 0.0
+        for idx, m, wt in zip(em.f_idx, masks, w):
+            out = out + jnp.sum(jnp.take(xx, idx, axis=-2)
+                                * m[..., None] * wt)
+        return out
+
+    g1 = jax.grad(f_custom)(x)
+    g2 = jax.grad(f_raw)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_leading_factor_axis(setup):
     """All primitives broadcast over a leading factor axis (DGCF/DisenGCN)."""
     coo, host, em = setup
