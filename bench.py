@@ -77,6 +77,40 @@ def bench_tpu(graph, batch=512, steps=100):
     return batch * n_steps / dt, dt / n_steps
 
 
+def bench_attention_model(graph, name="dgcf", batch=512, steps=30):
+    """Step time of the slowest attention-family model (learned adjacency,
+    Pallas routing kernels) so kernel regressions are driver-visible
+    (VERDICT r1 #10).  Whole-epoch scan capped at ``steps``; chained
+    measurement with a host transfer (DESIGN.md §6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.config import TrainConfig, model_preset
+    from tagrec_tpu.training.train import Trainer
+
+    mcfg = model_preset(name, reg=1e-4)
+    tcfg = TrainConfig(train_batch=batch)
+    pipe = build_pipeline(graph, mcfg, tcfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    phase = pipe.phases[0]
+    phase.steps_per_epoch = min(phase.steps_per_epoch, steps)
+    trainer = Trainer([phase], tcfg)
+    opt_state = trainer.init_opt_state(params)
+    fn = trainer._epoch_fn(phase)
+
+    key = jax.random.PRNGKey(1)
+    p, o, key, parts = fn(params, opt_state, key, pipe.gdev, phase.data)
+    checksum = float(jnp.sum(parts))
+    assert np.isfinite(checksum)
+    t0 = time.perf_counter()
+    p, o, key, parts = fn(p, o, key, pipe.gdev, phase.data)
+    checksum = float(jnp.sum(parts))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return dt / phase.steps_per_epoch
+
+
 def bench_torch_baseline(graph, batch=512, steps=8):
     """Reference-semantics LightGCN step in torch on CPU (independent impl)."""
     import torch
@@ -129,16 +163,27 @@ def bench_torch_baseline(graph, batch=512, steps=8):
 
 
 def main():
+    t_start = time.perf_counter()
     graph = build_graph()
     ours, step_time = bench_tpu(graph)
+    details = {"step_ms": round(step_time * 1e3, 3)}
+    # attention-model detail is best-effort: skip if the headline already ate
+    # the time budget (cold remote compiles are ~3-4 min each) so the ONE
+    # JSON line always lands within the driver's window
+    if time.perf_counter() - t_start < 300:
+        try:
+            dgcf_step = bench_attention_model(graph, "dgcf")
+            details["dgcf_step_ms"] = round(dgcf_step * 1e3, 3)
+        except Exception as e:  # never lose the headline metric
+            details["dgcf_step_ms"] = f"error: {e}"
     base = bench_torch_baseline(graph)
+    details["torch_cpu_baseline_examples_per_s"] = round(base, 1)
     print(json.dumps({
         "metric": "lightgcn_bpr_examples_per_sec_per_chip",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(ours / base, 3),
-        "details": {"step_ms": round(step_time * 1e3, 3),
-                    "torch_cpu_baseline_examples_per_s": round(base, 1)},
+        "details": details,
     }))
 
 

@@ -116,8 +116,8 @@ def run_mirror(graph, name, epochs, seed=2020):
             np.asarray(jparams["relation"]), np.asarray(jparams["transE"]),
             reg=1e-4, cor_reg=1e-4)
     elif name == "tgcn":
-        tables = {k: (np.asarray(i), np.asarray(w))
-                  for k, (i, w) in jm.device_data().items()}
+        tables = {k: (np.asarray(v[0]), np.asarray(v[1]))
+                  for k, v in jm.device_data().items() if k != "em"}
         layer_np = []
         for lp in jparams["layers"]:
             d = {"atten1": {t: {kk: np.asarray(vv) for kk, vv in ap.items()}

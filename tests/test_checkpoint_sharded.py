@@ -1,0 +1,119 @@
+"""Sharded checkpointing: per-shard save/restore under the 8-device mesh,
+rotation, structure validation (SURVEY §5 checkpoint/resume; VERDICT r1 #8).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tagrec_tpu.parallel import sharding as shd
+from tagrec_tpu.parallel.mesh import make_mesh
+from tagrec_tpu.training import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8, data_parallel=4)  # (data=4, model=2)
+
+
+def _tree(seed=0):
+    rng = np.random.default_rng(seed)
+    return {"embed": [jnp.asarray(rng.standard_normal((64, 16)),
+                                  dtype=jnp.float32),
+                      jnp.asarray(rng.standard_normal((128, 16)),
+                                  dtype=jnp.float32)],
+            "w": jnp.asarray(rng.standard_normal((7, 5)), dtype=jnp.float32),
+            "step": jnp.asarray(3, dtype=jnp.int32)}
+
+
+def test_sharded_roundtrip_under_mesh(mesh8, tmp_path):
+    tree = _tree()
+    shardings = shd.params_sharding(tree, mesh8)
+    placed = shd.place(tree, shardings)
+
+    d = ckpt.save_sharded(str(tmp_path / "ck"), placed, step=3)
+    assert os.path.isdir(d)
+
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    # restore as sharded global arrays under the same mesh
+    got = ckpt.load_sharded(d, like, shardings)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(placed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.sharding == b.sharding
+    # restore host-side (no shardings) also matches
+    got_np = ckpt.load_sharded(d, like)
+    for a, b in zip(jax.tree_util.tree_leaves(got_np),
+                    jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rotation_keeps_newest(mesh8, tmp_path):
+    tree = _tree()
+    placed = shd.place(tree, shd.params_sharding(tree, mesh8))
+    root = str(tmp_path / "ck")
+    for s in range(5):
+        ckpt.save_sharded(root, placed, step=s, rotate=2)
+    steps = sorted(x for x in os.listdir(root) if x.startswith("step_"))
+    assert steps == ["step_00000003", "step_00000004"]
+    assert ckpt.latest_step_dir(root).endswith("step_00000004")
+
+
+def test_structure_mismatch_raises(mesh8, tmp_path):
+    tree = _tree()
+    placed = shd.place(tree, shd.params_sharding(tree, mesh8))
+    d = ckpt.save_sharded(str(tmp_path / "ck"), placed, step=0)
+    bad_like = {"other": jnp.zeros((64, 16))}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.load_sharded(d, bad_like)
+
+
+def test_trainer_sharded_resume(mesh8, tmp_path, tiny_graph):
+    """Trainer under a mesh writes rotated per-shard state at evals and
+    resumes from the latest step dir."""
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.config import TrainConfig, model_preset
+    from tagrec_tpu.training.train import Trainer
+
+    mcfg = model_preset("lightgcn", reg=1e-4)
+    tcfg = TrainConfig(train_batch=32, test_batch=32, epochs=2,
+                       test_interval=1, patient_epoch=10)
+    pipe = build_pipeline(tiny_graph, mcfg, tcfg, mesh=mesh8)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    state_dir = str(tmp_path / "state")
+
+    class _Stop:
+        best_epoch, best_result = 0, {}
+
+        def __call__(self, *a):
+            return False
+
+    tr = Trainer(pipe.phases, tcfg, mesh=mesh8)
+    tr.run(params, jax.random.PRNGKey(1), pipe.evaluator, pipe.model,
+           pipe.gdev, _Stop(), log=lambda *a: None, state_path=state_dir)
+    assert ckpt.latest_step_dir(state_dir).endswith("step_00000002")
+
+    logs = []
+    tr2 = Trainer(pipe.phases, tcfg.replace(epochs=3), mesh=mesh8)
+    tr2.run(params, jax.random.PRNGKey(1), pipe.evaluator, pipe.model,
+            pipe.gdev, _Stop(), log=logs.append, state_path=state_dir)
+    assert any("resumed sharded state" in str(l) and "epoch 2" in str(l)
+               for l in logs), logs
+
+
+def test_resharding_on_restore(mesh8, tmp_path):
+    """A checkpoint saved replicated can be restored row-sharded (the blocks
+    are sliced out of the full-range shard) — mesh-shape migration."""
+    tree = {"t": jnp.asarray(np.arange(64 * 4, dtype=np.float32)
+                             .reshape(64, 4))}
+    repl = shd.place(tree, jax.tree_util.tree_map(
+        lambda x: shd.replicated(mesh8), tree))
+    d = ckpt.save_sharded(str(tmp_path / "ck"), repl, step=0)
+    shardings = {"t": shd.row_sharded(mesh8)}
+    got = ckpt.load_sharded(d, tree, shardings)
+    np.testing.assert_array_equal(np.asarray(got["t"]), np.asarray(tree["t"]))
+    assert got["t"].sharding.spec == jax.sharding.PartitionSpec("model")

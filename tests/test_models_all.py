@@ -76,3 +76,35 @@ def test_tgcn_on_device_resampling(tiny_graph):
     s1 = m2.forward(params, g2, training=True, key=jax.random.PRNGKey(1))
     s2 = m2.forward(params, g2, training=True, key=jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(s2[0]))
+
+
+def test_tgcn_edgemap_tier_matches_plain(tiny_graph):
+    """TGCN adj_mode='ell' (scatter-free edge_vgather formulation) must be
+    numerically identical to the plain gather path — forward and gradients
+    (the two are alternative executions of model/tgcn.py:11-37)."""
+    from tagrec_tpu.models.tgcn import TGCN
+
+    cfg = model_preset("tgcn", reg=1e-4)
+    m_plain = TGCN(tiny_graph, cfg)
+    m_ell = TGCN(tiny_graph, cfg.replace(adj_mode="ell"))
+    params = m_plain.init(jax.random.PRNGKey(3))
+    g_plain, g_ell = m_plain.device_data(), m_ell.device_data()
+    assert "em" in g_ell and "em" not in g_plain
+
+    f1 = m_plain.forward(params, g_plain, training=False)
+    f2 = m_ell.forward(params, g_ell, training=False)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    batch = jnp.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], dtype=jnp.int32)
+
+    def loss(m, g):
+        def f(p):
+            return sum(m.bpr_loss(p, g, batch, key=jax.random.PRNGKey(0)))
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(loss(m_plain, g_plain)),
+                    jax.tree_util.tree_leaves(loss(m_ell, g_ell))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

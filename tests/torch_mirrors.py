@@ -470,6 +470,93 @@ class TorchKGATDegenerate:
             return torch.sigmoid(U[torch.tensor(users)] @ E.T).numpy()
 
 
+class TorchKGATBiInter:
+    """Intended-KGAT semantics (agg_type='bi_inter', model/kgat.py:63-125):
+    relation-projected attention pi = (W_r e_t) . tanh(W_r e_h + e_r), row
+    softmax over each head's out-edges, three bi-interaction layers with
+    (W + b) bias folding (quirk #4), per-layer L2 normalize, concat readout;
+    BPR(softplus) + L2 on FINAL embeddings; squared TransE phase.
+
+    ``edges``: list over relations of (head_ids, tail_ids) in the GLOBAL
+    (user, entity) id space — the six tag-graph relations or a KG triplet
+    set.  Dense [n, n] attention (tiny test graphs only).
+    """
+
+    def __init__(self, edges, embed_user, embed_entity, embed_rel, transE,
+                 mats, reg=1e-4, cor_reg=1e-4, num_layer=3):
+        def P(x):
+            return torch.nn.Parameter(torch.tensor(np.asarray(x)))
+
+        self.user, self.entity = P(embed_user), P(embed_entity)
+        self.rel, self.transE = P(embed_rel), P(transE)
+        self.mats = {k: P(v) for k, v in mats.items()}
+        self.edges = [(torch.tensor(np.asarray(h), dtype=torch.long),
+                       torch.tensor(np.asarray(t), dtype=torch.long))
+                      for h, t in edges]
+        self.reg, self.cor_reg = reg, cor_reg
+        self.num_layer = num_layer
+        self.nu = self.user.shape[0]
+        self.n = self.user.shape[0] + self.entity.shape[0]
+        has_edge = torch.zeros(self.n, dtype=torch.bool)
+        for h, _ in self.edges:
+            has_edge[h] = True
+        self.row_mask = has_edge.float().unsqueeze(1)
+
+    def parameters(self):
+        return [self.user, self.entity, self.rel, self.transE,
+                *self.mats.values()]
+
+    def forward(self):
+        x = torch.cat([self.user, self.entity], 0)
+        neg = torch.full((self.n, self.n), -1e30)
+        pai_list = []
+        for r, (h, t) in enumerate(self.edges):
+            ph = x[h] @ self.transE[r] + self.rel[r]
+            pt = x[t] @ self.transE[r]
+            pai_list.append(((h, t), (pt * torch.tanh(ph)).sum(1)))
+        A = neg.index_put([torch.cat([h for (h, t), _ in pai_list]),
+                           torch.cat([t for (h, t), _ in pai_list])],
+                          torch.cat([v for _, v in pai_list]))
+        S = torch.softmax(A, dim=1) * self.row_mask
+        outs = [x]
+        for k in range(self.num_layer):
+            nei = S @ x
+            s = F.leaky_relu((nei + x) @ (self.mats[f"W1_{k}"]
+                                          + self.mats[f"b1_{k}"]), 0.2)
+            b = F.leaky_relu((nei * x) @ (self.mats[f"W2_{k}"]
+                                          + self.mats[f"b2_{k}"]), 0.2)
+            x = s + b
+            outs.append(F.normalize(x, p=2, dim=1))
+        return torch.cat(outs, 1)
+
+    def loss(self, batch):  # BPR phase; reg on FINAL embeddings
+        u, p, n = (torch.tensor(batch[:, i], dtype=torch.long)
+                   for i in range(3))
+        fin = self.forward()
+        U, E = fin[: self.nu], fin[self.nu:]
+        ue, pe, ne = U[u], E[p], E[n]
+        loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        reg = 0.5 * (ue.norm(2) ** 2 + pe.norm(2) ** 2
+                     + ne.norm(2) ** 2) / len(u)
+        return loss + self.reg * reg
+
+    def loss_transe(self, batch):
+        h, r, tp, tn = (torch.tensor(batch[:, i], dtype=torch.long)
+                        for i in range(4))
+        x = torch.cat([self.user, self.entity], 0)
+        w = self.transE[r]
+        r_e = self.rel[r]
+        h_e = torch.einsum("bd,bde->be", x[h], w)
+        p_e = torch.einsum("bd,bde->be", x[tp], w)
+        n_e = torch.einsum("bd,bde->be", x[tn], w)
+        pos = ((h_e + r_e - p_e) ** 2).sum(1)
+        negs = ((h_e + r_e - n_e) ** 2).sum(1)
+        kg = F.softplus(-(negs - pos)).mean()
+        reg = 0.5 * (h_e.norm(2) ** 2 + r_e.norm(2) ** 2 + p_e.norm(2) ** 2
+                     + n_e.norm(2) ** 2) / len(h)
+        return kg + self.cor_reg * reg
+
+
 def tgcn_transtag_loss(mirror, batch, margin=1.0, transtag_reg=1e-4):
     """Phase-2 TransTag margin loss on TorchTGCN ego embeddings
     (model/tgcn.py:251-261)."""
