@@ -133,3 +133,29 @@ def preprocess_hetrec(data_root: str, dataset: str, out_dir: str | None = None,
             "train_pairs": sum(len(v) for v in train.values()),
             "test_pairs": sum(len(v) for v in test.values()),
             "triples": len(t_uit), "out_dir": out}
+
+
+def main(argv=None):
+    """Standalone preprocessing entry (the reference runs its pipeline as a
+    script, data/preprocess/preprocess.py:62-64):
+
+        python -m tagrec_tpu.data.preprocess --data_root /data \
+            --dataset hetrec2011-lastfm-2k
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description="hetrec2011 preprocessing")
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--dataset", required=True, choices=sorted(DATASET_FILES))
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--train_frac", type=float, default=0.8)
+    ap.add_argument("--seed", type=int, default=2020)
+    args = ap.parse_args(argv)
+    info = preprocess_hetrec(args.data_root, args.dataset, args.out_dir,
+                             args.train_frac, args.seed)
+    print(info)
+    return info
+
+
+if __name__ == "__main__":
+    main()
