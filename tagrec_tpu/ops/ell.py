@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import List, NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -329,6 +330,88 @@ def hybrid_to_device(h: HybridHost) -> Hybrid:
                   else jnp.asarray(h.dense_block))
 
 
+class DenseSectorsHost(NamedTuple):
+    """Sector-blocked dense adjacency (host).
+
+    The joint {user, item, tag} adjacency is block-structured
+    ([[0, UI, UT], [IU, 0, IT], [TU, TI, 0]], model/help/adj.py:19-35): its
+    diagonal blocks are structurally zero, which is ~50% of the full [N, N]
+    area at hetrec shape.  Storing only the nonzero sector blocks and running
+    one MXU matmul per block halves the adjacency HBM stream vs the full
+    dense form — the dominant cost of LightGCN's step (measured).
+
+    blocks: ((ri, ci, np.ndarray [rows_ri, cols_ci]), ...) nonzero sectors
+    sizes:  per-sector node counts (rows == cols: square joint adjacency)
+    """
+
+    blocks: tuple
+    sizes: tuple
+
+
+class DenseSectors:
+    """Device-side sector-blocked dense adjacency (custom pytree: block
+    arrays are leaves, coordinates/sizes are static aux data)."""
+
+    def __init__(self, blocks, coords, sizes):
+        self.blocks = tuple(blocks)   # jnp arrays
+        self.coords = tuple(coords)   # ((ri, ci), ...) static
+        self.sizes = tuple(sizes)
+
+    def tree_flatten(self):
+        return self.blocks, (self.coords, self.sizes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, blocks):
+        coords, sizes = aux
+        return cls(blocks, coords, sizes)
+
+    def __repr__(self):
+        return (f"DenseSectors(coords={self.coords}, sizes={self.sizes}, "
+                f"dtypes={[b.dtype for b in self.blocks]})")
+
+
+jax.tree_util.register_pytree_node_class(DenseSectors)
+
+
+def build_dense_sectors(coo, sectors, dtype=np.float32) -> DenseSectorsHost:
+    """Split a square COO over per-type sectors into dense blocks, keeping
+    only blocks that contain edges."""
+    sizes = tuple(int(s) for s in sectors)
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    assert offs[-1] == coo.shape[0] == coo.shape[1], (offs[-1], coo.shape)
+    ri_of = np.searchsorted(offs, coo.row, side="right") - 1
+    ci_of = np.searchsorted(offs, coo.col, side="right") - 1
+    blocks = []
+    for ri in range(len(sizes)):
+        for ci in range(len(sizes)):
+            sel = (ri_of == ri) & (ci_of == ci)
+            if not sel.any():
+                continue
+            b = np.zeros((sizes[ri], sizes[ci]), dtype=np.float32)
+            np.add.at(b, (coo.row[sel] - offs[ri], coo.col[sel] - offs[ci]),
+                      coo.val[sel])
+            if dtype is not np.float32:
+                import jax.numpy as jnp
+                b = np.asarray(jnp.asarray(b, dtype=jnp.bfloat16))
+            blocks.append((ri, ci, b))
+    return DenseSectorsHost(blocks=tuple(blocks), sizes=sizes)
+
+
+def transpose_dense_sectors(h: DenseSectorsHost) -> DenseSectorsHost:
+    return DenseSectorsHost(
+        blocks=tuple((ci, ri, np.ascontiguousarray(b.T))
+                     for ri, ci, b in h.blocks),
+        sizes=h.sizes)
+
+
+def dense_sectors_to_device(h: DenseSectorsHost) -> DenseSectors:
+    import jax.numpy as jnp
+
+    return DenseSectors(blocks=[jnp.asarray(b) for _, _, b in h.blocks],
+                        coords=[(ri, ci) for ri, ci, _ in h.blocks],
+                        sizes=h.sizes)
+
+
 class AdjPairHost(NamedTuple):
     fwd: HybridHost
     bwd: HybridHost  # transpose; shared with fwd when symmetric
@@ -355,7 +438,7 @@ def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
                    pad_multiple: int = 8, hub_min_degree: int = 96,
                    max_hub_cols: int = 512, mode: str = "auto",
                    dense_budget: int = DENSE_ADJ_BUDGET_BYTES,
-                   dense_dtype=np.float32) -> AdjPairHost:
+                   dense_dtype=np.float32, sectors=None) -> AdjPairHost:
     """Build fwd + transpose adjacency from a COO.
 
     mode:
@@ -367,6 +450,12 @@ def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
       * "hybrid" — dense hub columns + ELL tail
       * "ell"    — pure bucketed ELL (hub block disabled)
 
+    ``sectors``: optional per-node-type sizes of a SQUARE joint adjacency
+    whose diagonal blocks are structurally zero ([[0,UI,UT],[IU,0,IT],
+    [TU,TI,0]], model/help/adj.py:19-35).  In dense mode this stores only the
+    nonzero sector blocks (DenseSectorsHost) — ~half the HBM stream of the
+    full [N, N] block at hetrec shape.  Ignored off the dense path.
+
     ``symmetric=True`` (valid for bi_norm/plain joint adjacencies, whose value
     matrices are symmetric) shares the forward structure for the backward pass.
     """
@@ -377,6 +466,8 @@ def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
         hub_min_degree, max_hub_cols = 1 << 30, 0
 
     def build_one(c):
+        if mode == "dense" and sectors is not None:
+            return build_dense_sectors(c, sectors, dtype=dense_dtype)
         if mode == "dense":
             return build_dense(c, dtype=dense_dtype)
         return build_hybrid(c, hub_min_degree=hub_min_degree,
@@ -390,6 +481,11 @@ def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
 
 
 def adj_pair_to_device(h: AdjPairHost) -> AdjPair:
-    fwd = hybrid_to_device(h.fwd)
-    bwd = fwd if h.bwd is h.fwd else hybrid_to_device(h.bwd)
+    def side(x):
+        if isinstance(x, DenseSectorsHost):
+            return dense_sectors_to_device(x)
+        return hybrid_to_device(x)
+
+    fwd = side(h.fwd)
+    bwd = fwd if h.bwd is h.fwd else side(h.bwd)
     return AdjPair(fwd=fwd, bwd=bwd)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 import numpy as np
 
+from tagrec_tpu.ops import ell as ell_lib
 from tagrec_tpu.ops.ell import AdjPair, Ell, EllBuckets, Hybrid, ell_mask
 
 
@@ -66,12 +67,41 @@ def _zero_cotangent(tree):
     return jax.tree_util.tree_map(z, tree)
 
 
-def hybrid_mm(h: Hybrid, x: jnp.ndarray) -> jnp.ndarray:
+def dense_sectors_mm(ds, x: jnp.ndarray) -> jnp.ndarray:
+    """Sector-blocked dense SpMM: one MXU matmul per nonzero sector block.
+
+    Skips the joint adjacency's structurally-zero diagonal blocks — ~half the
+    HBM stream of the full [N, N] dense form at hetrec shape (the dominant
+    cost of the constant-adjacency step, measured).  bf16 blocks stream at
+    half width with f32 accumulation, like hybrid_mm."""
+    offs = [0]
+    for s in ds.sizes:
+        offs.append(offs[-1] + s)
+    xs = [jax.lax.slice_in_dim(x, offs[i], offs[i + 1], axis=0)
+          for i in range(len(ds.sizes))]
+    outs: list = [None] * len(ds.sizes)
+    for b, (ri, ci) in zip(ds.blocks, ds.coords):
+        if b.dtype == jnp.bfloat16:
+            y = jnp.dot(b, xs[ci].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(b, xs[ci], preferred_element_type=x.dtype)
+        outs[ri] = y if outs[ri] is None else outs[ri] + y
+    outs = [o if o is not None
+            else jnp.zeros((s, x.shape[1]), dtype=x.dtype)
+            for o, s in zip(outs, ds.sizes)]
+    return jnp.concatenate(outs, axis=0)
+
+
+def hybrid_mm(h, x: jnp.ndarray) -> jnp.ndarray:
     """Hybrid SpMM: ELL gather for tail edges + one MXU matmul over the dense
     hub-column block (zipf graphs put ~half their edges on a few hundred
     popular columns — those stream through the MXU at full bandwidth).
     dense_cols=None with a block present means the block is the FULL dense
-    adjacency (ops.ell.build_dense)."""
+    adjacency (ops.ell.build_dense).  Also dispatches the sector-blocked
+    dense form (ops.ell.DenseSectors)."""
+    if isinstance(h, ell_lib.DenseSectors):
+        return dense_sectors_mm(h, x)
     if h.dense_block is not None and h.dense_cols is None:
         if h.dense_block.dtype == jnp.bfloat16:
             # bf16-streamed adjacency: halves the HBM traffic of the hot
@@ -112,7 +142,7 @@ def adj_mm(adj, x: jnp.ndarray) -> jnp.ndarray:
     """Propagate with a single Ell, EllBuckets, Hybrid, or AdjPair adjacency."""
     if isinstance(adj, AdjPair):
         return pair_spmm(x, adj.fwd, adj.bwd)
-    if isinstance(adj, Hybrid):
+    if isinstance(adj, (Hybrid, ell_lib.DenseSectors)):
         return hybrid_mm(adj, x)
     if isinstance(adj, EllBuckets):
         return ell_buckets_mm(adj, x)
@@ -165,6 +195,15 @@ def edge_dropout(adj, keep_prob_complement: float, key, training: bool):
         u = jax.random.uniform(k, ell.val.shape)
         mask = (u + keep).astype(jnp.int32).astype(ell.val.dtype)  # floor ∈ {0,1}
         return Ell(idx=ell.idx, val=ell.val * mask / keep, deg=ell.deg)
+
+    if isinstance(adj, ell_lib.DenseSectors):
+        keys = jax.random.split(key, len(adj.blocks))
+        blocks = []
+        for b, k in zip(adj.blocks, keys):
+            u = jax.random.uniform(k, b.shape)
+            mask = (u + keep).astype(jnp.int32).astype(b.dtype)
+            blocks.append(b * mask / keep)  # zeros stay zero
+        return ell_lib.DenseSectors(blocks, adj.coords, adj.sizes)
 
     if isinstance(adj, Hybrid):
         k_ell, k_dense = jax.random.split(key)

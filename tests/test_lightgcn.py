@@ -119,3 +119,58 @@ def test_group_breakdown(tiny_graph):
     assert len(groups) >= 2
     n_users = sum(int(k.split("-")[-1]) for k in groups)
     assert n_users == len(tiny_graph.user_items["test"])
+
+
+def test_dense_sectors_matches_full_dense(tiny_graph):
+    """Sector-blocked dense adjacency (diagonal blocks skipped) must be
+    numerically identical to the full dense block — forward, loss, grads."""
+    import jax
+    import jax.numpy as jnp
+    from tagrec_tpu.config import model_preset
+    from tagrec_tpu.models.lightgcn import LightGCN
+    from tagrec_tpu.ops import ell as ell_lib
+    from tagrec_tpu.ops.propagate import dense_sectors_mm
+
+    cfg = model_preset("lightgcn", reg=1e-4, adj_mode="dense")
+    model = LightGCN(tiny_graph, cfg)
+    gdev = model.device_data()
+    adj = gdev["adj"]
+    assert isinstance(adj.fwd, ell_lib.DenseSectors)
+    # no diagonal blocks
+    assert all(ri != ci for ri, ci in adj.fwd.coords)
+
+    coo = tiny_graph.joint_norm_adj("bi_norm", True)
+    dense = jnp.asarray(coo.to_dense())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((dense.shape[1], 16))
+                    .astype(np.float32))
+    np.testing.assert_allclose(np.asarray(dense_sectors_mm(adj.fwd, x)),
+                               np.asarray(dense @ x), rtol=1e-5, atol=1e-5)
+
+    # full model forward + grad vs the full-dense build (no sectors)
+    host_full = ell_lib.build_adj_pair(coo, symmetric=True, mode="dense")
+    gdev_full = {"adj": ell_lib.adj_pair_to_device(host_full)}
+    params = model.init(jax.random.PRNGKey(0))
+    f1 = model.forward(params, gdev, training=False)
+    f2 = model.forward(params, gdev_full, training=False)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    batch = jnp.asarray([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+
+    def grad_of(g):
+        def f(p):
+            return sum(model.bpr_loss(p, g, batch, key=jax.random.PRNGKey(1)))
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grad_of(gdev)),
+                    jax.tree_util.tree_leaves(grad_of(gdev_full))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+    # edge dropout preserves zero blocks and rescales survivors
+    from tagrec_tpu.ops.propagate import edge_dropout
+    dropped = edge_dropout(adj, 0.5, jax.random.PRNGKey(2), True)
+    assert isinstance(dropped, ell_lib.DenseSectors)
+    y = dense_sectors_mm(dropped, x)
+    assert np.all(np.isfinite(np.asarray(y)))
