@@ -31,13 +31,20 @@ class NGCF:
         self.num_list = [graph.n_user, graph.n_item] + (
             [graph.n_tag] if use_tag else [])
         self.dims = [cfg.dim_latent] + list(cfg.dim_layer_list)
-        coo = graph.joint_norm_adj(cfg.norm_type, use_tag)
-        # degree-bucketed ELL (bounded padding on power-law graphs) with a
-        # transpose pair for the scatter-free custom-VJP backward
+        # The ngcf norm is D^-1 A + I (model/help/adj.py:75-87).  The +I is
+        # applied ANALYTICALLY (nei = adj_mm(D^-1 A, x) + x — exactly equal),
+        # so the stored adjacency has no self-loops and the dense tier can
+        # skip the joint matrix's structurally-zero diagonal blocks
+        # (~2x less adjacency HBM stream).
+        self._add_identity = cfg.norm_type == "ngcf"
+        stored_norm = "si_norm" if self._add_identity else cfg.norm_type
+        coo = graph.joint_norm_adj(stored_norm, use_tag)
         import numpy as _np
         self._adj_host = ell_lib.build_adj_pair(
-            coo, symmetric=cfg.norm_type in ("bi_norm", "plain"),
-            dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16")
+            coo, symmetric=stored_norm in ("bi_norm", "plain"),
+            dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16",
+            sectors=tuple(self.num_list)
+            if stored_norm in ("bi_norm", "plain", "si_norm") else None)
 
     def device_data(self):
         return {"adj": ell_lib.adj_pair_to_device(self._adj_host)}
@@ -63,6 +70,8 @@ class NGCF:
         outs = [x]
         for k in range(cfg.num_layer):
             nei = adj_mm(adj, x)
+            if self._add_identity:
+                nei = nei + x  # the +I of the ngcf norm, applied analytically
             # quirk #4: bias folded into the weight before matmul
             sum_emb = jax.nn.leaky_relu(
                 (nei + x) @ (params["mat"][f"W1_{k}"] + params["mat"][f"b1_{k}"]),
