@@ -245,6 +245,18 @@ SCALES = {
 }
 
 
+def _deep_merge(base: dict, add: dict) -> dict:
+    """Merge ``add`` into ``base`` (add wins on leaves).  Used to re-read the
+    results file before every write so concurrent ours/mirror runs (separate
+    processes, disjoint keys) don't wipe each other's results."""
+    for k, v in add.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
 def build_scale_graph(scale: str):
     from tagrec_tpu.data.synthetic import synthetic_graph, synthetic_graph_large
 
@@ -309,6 +321,13 @@ def main():
                                             max(m["recall@20"], 1e-9), 3)
                 r["ndcg20_ratio"] = round(o["ndcg@20"] /
                                           max(m["ndcg@20"], 1e-9), 3)
+            on_disk = {}
+            if os.path.exists(args.out):
+                try:
+                    on_disk = json.load(open(args.out))
+                except json.JSONDecodeError:
+                    pass
+            results = _deep_merge(on_disk, results)
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2, default=float)
 
