@@ -275,6 +275,16 @@ class Trainer:
                 params, opt_state, key, parts = fn(params, opt_state, key,
                                                    gdev, phase.data)
                 parts = np.asarray(parts)
+                if not np.isfinite(parts).all():
+                    # failure detection (SURVEY §5): a diverged epoch has
+                    # already corrupted params — stop instead of training on
+                    # NaNs; the last eval-time checkpoint (state_path) is the
+                    # recovery point
+                    msg = (f"non-finite loss in epoch {ep} phase "
+                           f"{phase.name}; last saved state: "
+                           f"{state_path or '(none)'}")
+                    log(f"FATAL: {msg}")
+                    raise FloatingPointError(msg)
                 dt = time.time() - t0
                 log(f"[Epoch:{ep}][{phase.name}][{dt:.2f}s] "
                     f"avg_loss: {parts.sum(axis=1).mean():.5f} "

@@ -134,3 +134,31 @@ def test_trainer_resume(tmp_path, tiny_graph):
     tr2.run(params, jax.random.PRNGKey(1), pipe.evaluator, pipe.model,
             pipe.gdev, stop2, log=logs.append, state_path=sp)
     assert any("resumed" in str(l) for l in logs)
+
+
+def test_trainer_nan_guard(tiny_graph):
+    """A diverged (non-finite) epoch must stop training with a clear error
+    (failure detection, SURVEY §5) instead of training on NaNs."""
+    import pytest
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.config import TrainConfig, model_preset
+    from tagrec_tpu.training.train import Trainer
+
+    mcfg = model_preset("lightgcn", reg=1e-4)
+    tcfg = TrainConfig(train_batch=32, test_batch=32, epochs=2,
+                       test_interval=5, lr=1.0)
+    pipe = build_pipeline(tiny_graph, mcfg, tcfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    # poison the embeddings so the first epoch produces NaN losses
+    params["embed"][0] = params["embed"][0].at[0, 0].set(jnp.nan)
+
+    class _Stop:
+        best_epoch, best_result = 0, {}
+
+        def __call__(self, *a):
+            return False
+
+    trainer = Trainer(pipe.phases, tcfg)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        trainer.run(params, jax.random.PRNGKey(1), pipe.evaluator,
+                    pipe.model, pipe.gdev, _Stop(), log=lambda *a: None)
