@@ -41,13 +41,15 @@ class Evaluator:
         self.true_ui["test"] = graph.user_items["test"]
 
         n_user = graph.n_user
-        # Padded train-positive table (pad = n_item -> dropped by the masking
-        # scatter) and padded test table (pad = -1 -> never matches a top-k id).
+        # Padded train-positive table (pad = 2^30, out of range for ANY score
+        # width -> dropped by the masking scatter even when a model scores
+        # the full entity table, e.g. KGAT's items+tags) and padded test
+        # table (pad = -1 -> never matches a top-k id).
         tr_deg = np.zeros(n_user, dtype=np.int32)
         for u, it in self.pos_ui.items():
             tr_deg[u] = len(it)
         p = max(int(tr_deg.max()), 1)
-        train_pad = np.full((n_user, p), self.n_item, dtype=np.int32)
+        train_pad = np.full((n_user, p), 1 << 30, dtype=np.int32)
         for u, it in self.pos_ui.items():
             train_pad[u, : len(it)] = it
         self._train_pad = jnp.asarray(train_pad)
