@@ -62,6 +62,9 @@ def parse_args(argv=None):
                    help="adjacency/attention execution mode (semantics-neutral)")
     p.add_argument("--resume", type=str, default="",
                    help="train-state file for save/resume across restarts")
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a device trace of the training run into this "
+                        "directory (TensorBoard-viewable; utils/profiling.py)")
     return p.parse_args(argv)
 
 
@@ -132,8 +135,17 @@ def main(argv=None):
                                        "train": tcfg.__dict__}, default=str))
     stop = EarlyStop(tcfg.patient_epoch, tcfg.early_stop_key, save_path=ckpt_path)
     trainer = Trainer(pipe.phases, tcfg, mesh=mesh)
-    trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop,
-                metrics=metrics, state_path=args.resume or None)
+    if args.profile:
+        from tagrec_tpu.utils import profiling
+
+        profiling.start_trace(args.profile)
+    try:
+        trainer.run(params, key, pipe.evaluator, pipe.model, pipe.gdev, stop,
+                    metrics=metrics, state_path=args.resume or None)
+    finally:
+        if args.profile:
+            profiling.stop_trace()
+            print(f"device trace written to {args.profile}")
 
     # reload best checkpoint for the final report (main.py:24)
     best = checkpoint.load(ckpt_path, params) if os.path.exists(ckpt_path) \
