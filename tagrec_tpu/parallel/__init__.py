@@ -1,4 +1,4 @@
 from tagrec_tpu.parallel.mesh import make_mesh
-from tagrec_tpu.parallel import sharding
+from tagrec_tpu.parallel import launch, sharding, topk
 
-__all__ = ["make_mesh", "sharding"]
+__all__ = ["make_mesh", "launch", "sharding", "topk"]
