@@ -397,13 +397,6 @@ def build_dense_sectors(coo, sectors, dtype=np.float32) -> DenseSectorsHost:
     return DenseSectorsHost(blocks=tuple(blocks), sizes=sizes)
 
 
-def transpose_dense_sectors(h: DenseSectorsHost) -> DenseSectorsHost:
-    return DenseSectorsHost(
-        blocks=tuple((ci, ri, np.ascontiguousarray(b.T))
-                     for ri, ci, b in h.blocks),
-        sizes=h.sizes)
-
-
 def dense_sectors_to_device(h: DenseSectorsHost) -> DenseSectors:
     import jax.numpy as jnp
 

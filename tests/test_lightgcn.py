@@ -174,3 +174,23 @@ def test_dense_sectors_matches_full_dense(tiny_graph):
     assert isinstance(dropped, ell_lib.DenseSectors)
     y = dense_sectors_mm(dropped, x)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_dense_sectors_bf16_close_to_f32(tiny_graph):
+    """bf16 sector blocks: same math at reduced adjacency precision
+    (quality-neutral at scale, PARITY.md bf16 rows)."""
+    import jax
+    from tagrec_tpu.config import model_preset
+    from tagrec_tpu.models.lightgcn import LightGCN
+
+    m32 = LightGCN(tiny_graph, model_preset("lightgcn", adj_mode="dense"))
+    m16 = LightGCN(tiny_graph, model_preset("lightgcn", adj_mode="dense",
+                                            adj_dtype="bf16"))
+    import jax.numpy as jnp
+    assert m16.device_data()["adj"].fwd.blocks[0].dtype == jnp.bfloat16
+    params = m32.init(jax.random.PRNGKey(0))
+    f32 = m32.forward(params, m32.device_data(), training=False)
+    f16 = m16.forward(params, m16.device_data(), training=False)
+    for a, b in zip(f32, f16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-3)
