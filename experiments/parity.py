@@ -340,10 +340,31 @@ def write_parity_md(results, path="PARITY.md"):
         "# PARITY — tagrec_tpu vs reference-semantics torch mirrors\n",
         "Protocol: same synthetic tag graph per scale, same init, reference "
         "training protocol (batch 512, Adam lr 0.01, eval every 5 epochs, "
-        "patience 10 on NDCG@10).  Scales: small = 300u/800i/120t; "
-        "mid = 800u/3000i/1000t/60k; hetrec = 2000u/10000i/3000t/400k "
-        "(the BENCH graph).  Multi-seed rows show mean [min..max] over "
-        "seeds.\n",
+        "patience 10 on NDCG@10).  Scales: small = 300u/800i/120t "
+        "(120-epoch budget, round 1); mid = 800u/3000i/1000t/60k; "
+        "hetrec = 2000u/10000i/3000t/400k (the BENCH graph; 16-epoch budget "
+        "both sides — at 100-600 optimizer steps/epoch every model's NDCG@10 "
+        "peaks within the first few evals).  Multi-seed rows show mean "
+        "[min..max] over seeds.\n",
+        "Evidence notes:",
+        "* Step-level ground truth is tests/test_parity_torch.py: identical "
+        "init + identical batches -> loss-trajectory agreement (rtol <= 5e-3 "
+        "over multiple Adam steps) for all seven models plus KGAT bi_inter "
+        "and true-KG modes.  The end-metric ratios here measure the residual "
+        "effect of the documented sampling deviations + run variance.",
+        "* The torch mirrors run on this machine's 2 CPU cores; at hetrec "
+        "scale the routing/attention mirrors (dgcf/disengcn/disenhan/tgcn) "
+        "cost 1-5 h/epoch and are infeasible, so their ours-vs-mirror ratios "
+        "are measured at mid scale (the largest mirror-tractable size) with "
+        "3 seeds for the round-1 outliers; ours-side results at hetrec scale "
+        "are reported for all 7 models.",
+        "* Seed spread at mid scale shows the round-1 outlier ratios were "
+        "seed noise: disengcn ndcg ratios span ~[0.84..1.22] and tgcn "
+        "~[0.76..1.03] across 3 seeds — the per-seed ratio varies far more "
+        "than the mean deviates from 1.",
+        "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
+        "only ~5% faster after sector blocking -> stays opt-in "
+        "(ModelConfig.adj_dtype).\n",
     ]
     for scale in ("small", "mid", "hetrec"):
         if scale not in results:
@@ -361,21 +382,26 @@ def write_parity_md(results, path="PARITY.md"):
                 if "reference_mirror" in r:
                     m_r.append(r["reference_mirror"]["recall@20"])
                     m_n.append(r["reference_mirror"]["ndcg@20"])
-            if not o_r or not m_r:
+            if not o_r:
                 continue
 
             def fmt(xs):
+                if not xs:
+                    return "—"
                 m = sum(xs) / len(xs)
                 if len(xs) == 1:
                     return f"{m:.4f}"
                 return f"{m:.4f} [{min(xs):.4f}..{max(xs):.4f}]"
 
-            rr = (sum(o_r) / len(o_r)) / max(sum(m_r) / len(m_r), 1e-9)
-            nr = (sum(o_n) / len(o_n)) / max(sum(m_n) / len(m_n), 1e-9)
+            if m_r:
+                rr = (sum(o_r) / len(o_r)) / max(sum(m_r) / len(m_r), 1e-9)
+                nr = (sum(o_n) / len(o_n)) / max(sum(m_n) / len(m_n), 1e-9)
+                rr, nr = f"{rr:.3f}", f"{nr:.3f}"
+            else:
+                rr = nr = "—"
             lines.append(
                 f"| {name} | {max(len(o_r), len(m_r))} | {fmt(o_r)} | "
-                f"{fmt(m_r)} | {fmt(o_n)} | {fmt(m_n)} | {rr:.3f} | "
-                f"{nr:.3f} |")
+                f"{fmt(m_r)} | {fmt(o_n)} | {fmt(m_n)} | {rr} | {nr} |")
         # bf16 quality rows (ours f32 vs ours bf16, mirror-independent)
         bf_lines = []
         for name, sc in sorted(results[scale].items()):
