@@ -14,7 +14,6 @@ import os
 import time
 
 import jax
-import numpy as np
 
 from tagrec_tpu.compose import build_pipeline
 from tagrec_tpu.config import TrainConfig, model_preset

@@ -24,8 +24,6 @@ Capability parity with reference model/tgcn.py:11-268:
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 import jax
 import jax.numpy as jnp

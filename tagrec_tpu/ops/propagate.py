@@ -8,8 +8,6 @@ lowers to one dense gather + a weighted reduction, which XLA fuses and tiles;
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

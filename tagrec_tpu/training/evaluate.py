@@ -9,9 +9,7 @@ loop and CPU metric pool are replaced by one jit'd kernel per user batch.
 
 from __future__ import annotations
 
-import time
 from collections import defaultdict
-from functools import partial
 from typing import Dict, List, Optional
 
 import numpy as np
