@@ -41,6 +41,9 @@ class LightGCN:
         no_self_loops = cfg.norm_type in ("bi_norm", "plain", "si_norm")
         self._adj_host = ell_lib.build_adj_pair(
             coo, symmetric=symmetric,
+            # dense_xla is the attention-model chunked tier; for plain SpMM
+            # models it means the same thing as dense
+            mode={"dense_xla": "dense"}.get(cfg.adj_mode, cfg.adj_mode),
             dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16",
             sectors=tuple(self.num_list) if no_self_loops else None)
 

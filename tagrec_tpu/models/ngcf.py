@@ -42,6 +42,9 @@ class NGCF:
         import numpy as _np
         self._adj_host = ell_lib.build_adj_pair(
             coo, symmetric=stored_norm in ("bi_norm", "plain"),
+            # dense_xla is the attention-model chunked tier; for plain SpMM
+            # models it means the same thing as dense
+            mode={"dense_xla": "dense"}.get(cfg.adj_mode, cfg.adj_mode),
             dense_dtype=_np.float32 if cfg.adj_dtype == "f32" else "bf16",
             sectors=tuple(self.num_list)
             if stored_norm in ("bi_norm", "plain", "si_norm") else None)

@@ -16,8 +16,10 @@ Capability parity with reference model/tgcn.py:11-268:
   array it never uses and always takes the first k columns of tables sampled
   once at init (model/tgcn.py:196-199) — i.e. neighbor tables are effectively
   STATIC.  Default here matches (tables sampled once on host at build time);
-  set ``resample_each_layer=True`` for true on-device per-layer resampling via
-  jax.random (the intended behavior).
+  set ``resample_each_layer=True`` for true on-device per-layer resampling:
+  the full CSR neighbor lists live on device and each layer draws k fresh
+  with-replacement samples per node from them (the intended behavior; no
+  truncation for degree > k nodes).
 * phase-1 BPR(logsigmoid) + L2 on final embeddings; phase-2 TransTag margin
   loss on ego embeddings (model/tgcn.py:251-261).
 """
@@ -72,6 +74,20 @@ class TGCN:
         self._tables = [
             _sample_neighbor_table(a, cfg.neighbor_k, rng) for a in adjs]
 
+        # resample_each_layer: full CSR neighbor lists (cols +1-shifted,
+        # weight ids) so each layer can draw k FRESH with-replacement samples
+        # per node on device — no truncation of degree > k support.
+        self._csr_host = []
+        if resample_each_layer:
+            for a in adjs:
+                order = np.argsort(a.row, kind="stable")
+                cols = a.col[order].astype(np.int32) + 1
+                w = a.val[order].astype(np.int32)
+                starts = np.zeros(a.shape[0] + 1, dtype=np.int32)
+                np.cumsum(np.bincount(a.row, minlength=a.shape[0]),
+                          out=starts[1:])
+                self._csr_host.append((starts, cols, w))
+
         # Optional EdgeMap formulation (adj_mode="ell"): each [N, k] neighbor
         # table IS a fixed edge set over the (N_col+1)-shifted node space —
         # pads are real edges to node 0 (whose embedding row is zero), so the
@@ -110,6 +126,10 @@ class TGCN:
             out["em"] = {name: (emap.to_device(ej), emap.to_device(ew))
                          for name, (ej, ew) in zip(self.REL_ORDER,
                                                    self._emaps_host)}
+        if self._csr_host:
+            out["csr"] = {name: tuple(jnp.asarray(x) for x in csr)
+                          for name, csr in zip(self.REL_ORDER,
+                                               self._csr_host)}
         return out
 
     # ------------------------------------------------------------------ init
@@ -222,17 +242,25 @@ class TGCN:
         return jax.nn.relu(x @ lp["Wf"] + lp["bf"])
 
     def _resample(self, gdev, key):
-        """On-device per-layer neighbor resampling (intended behavior)."""
+        """On-device per-layer neighbor resampling (intended behavior).
+
+        Draws k fresh with-replacement samples per node from the FULL CSR
+        neighbor lists (gdev["csr"]) — same distribution as the host-side
+        ``neighbor_sample_csr`` table build, so degree > k support is never
+        truncated.  Degree-0 rows keep the 0-pad (zero embedding row)."""
         out = {}
+        k = self.cfg.neighbor_k
         keys = jax.random.split(key, 6)
         for kk, name in zip(keys, self.REL_ORDER):
-            idx, w = gdev[name]
-            j = jax.random.randint(kk, idx.shape, 0, idx.shape[1])
-            out[name] = (jnp.take_along_axis(idx, j, axis=1),
-                         jnp.take_along_axis(w, j, axis=1))
+            starts, cols, w = gdev["csr"][name]
+            deg = starts[1:] - starts[:-1]                       # [N]
+            j = jax.random.randint(kk, (deg.shape[0], k), 0,
+                                   jnp.maximum(deg, 1)[:, None])
+            flat = starts[:-1, None] + j                         # [N, k]
+            live = deg[:, None] > 0
+            out[name] = (jnp.where(live, jnp.take(cols, flat), 0),
+                         jnp.where(live, jnp.take(w, flat), 0))
         return out
-        # note: gdev tables already encode one with-replacement draw; a second
-        # resample over them approximates a fresh draw from the true lists
 
     # --------------------------------------------------------------- forward
     def forward(self, params, gdev, *, training: bool = False, key=None):

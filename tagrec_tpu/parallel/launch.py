@@ -49,13 +49,11 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return  # single-process run
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
+    if jax.distributed.is_initialized():
+        return  # idempotent: a second initialize() call is a no-op
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def global_mesh(data_parallel: Optional[int] = None,
@@ -147,25 +145,61 @@ def batch_bounds(global_batch: int, mesh: Mesh,
                         process_index=process_index, process_of=process_of)
 
 
-def scaling_report(step_fn, args_fn, mesh_sizes: List[int], batch: int,
-                   reps: int = 3) -> Dict[int, float]:
+def _host_sync(result) -> float:
+    """Force a real device→host transfer on ``result`` (sum of every float
+    leaf).  block_until_ready alone can return before execution through the
+    TPU tunnel, and identical-input repeat calls pipeline into fantasy
+    numbers (CLAUDE.md / DESIGN.md timing trap) — a host transfer of the
+    result is the only sync this repo trusts."""
+    import jax.numpy as jnp
+
+    tot = 0.0
+    for leaf in jax.tree_util.tree_leaves(result):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            tot += float(jnp.sum(leaf))
+    assert np.isfinite(tot), "non-finite step result in scaling_report"
+    return tot
+
+
+def scaling_report(step_fn, args_fn, mesh_sizes: List[int], batch,
+                   reps: int = 3, weak: bool = False) -> Dict[int, float]:
     """Examples/s over increasing mesh sizes (the BASELINE.json ≥85% 1→N
-    scaling harness).  ``args_fn(mesh)`` builds placed step inputs;
-    ``step_fn(*args)`` runs one jit'd step and returns something to block on.
-    On the virtual CPU mesh this validates the harness and sharding math;
-    on a real slice it produces the scaling number."""
+    scaling harness).
+
+    ``args_fn(mesh, rep)`` builds placed step inputs for repetition ``rep``
+    (vary them per rep — identical-input repeats pipeline on TPU; a 1-arg
+    ``args_fn(mesh)`` is still accepted and reused across reps);
+    ``step_fn(*args)`` runs one jit'd step and returns a pytree whose float
+    leaves are summed to the host after EVERY rep — the per-rep host
+    transfer is what makes the timing real (see ``_host_sync``).
+
+    ``batch``: global examples per step — an int (strong scaling: fixed
+    global batch) or a callable ``batch(n) -> int`` (weak scaling: caller
+    grows the batch with the mesh, e.g. ``lambda n: 512 * n``).  ``weak``
+    is a convenience for ``batch(n) = batch * n`` with an int batch.
+
+    On the virtual CPU mesh this validates the harness and sharding math
+    (devices share physical cores, so the efficiency NUMBER is meaningless
+    there); on a real slice it produces the scaling deliverable."""
+    import inspect
     import time
+
+    batch_of = batch if callable(batch) else (
+        (lambda n: batch * n) if weak else (lambda n: batch))
+    takes_rep = len(inspect.signature(args_fn).parameters) >= 2
 
     out = {}
     for n in mesh_sizes:
         mesh = make_mesh(n)
-        args = args_fn(mesh)
-        r = step_fn(*args)
-        jax.block_until_ready(r)
+        per_rep_args = [args_fn(mesh, r) if takes_rep else None
+                        for r in range(reps)]
+        shared = None if takes_rep else args_fn(mesh)
+        # warmup/compile with rep-0 inputs, fully synced
+        _host_sync(step_fn(*(per_rep_args[0] if takes_rep else shared)))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            r = step_fn(*args)
-        jax.block_until_ready(r)
+        for r in range(reps):
+            res = step_fn(*(per_rep_args[r] if takes_rep else shared))
+            _host_sync(res)  # per-rep host transfer: no pipelining
         dt = (time.perf_counter() - t0) / reps
-        out[n] = batch / dt
+        out[n] = batch_of(n) / dt
     return out

@@ -144,11 +144,17 @@ def save_sharded(ckpt_dir: str, tree: Any, step: int = 0,
                         os.replace(os.path.join(src, fn),
                                    os.path.join(step_dir, fn))
                     os.rmdir(src)
-    elif not os.path.exists(step_dir):
+    else:
+        if os.path.exists(step_dir):
+            # re-save of the same step (e.g. crash mid-rotation): replace the
+            # stale dir rather than silently keeping it + leaking the tmp dir
+            import shutil
+            shutil.rmtree(step_dir)
         os.replace(tmp_dir, step_dir)
     if rotate > 0 and jax.process_index() == 0:
+        # ".tmp" in d (not endswith): crashed-run leftovers are step_*.tmp{p}
         steps = sorted(d for d in os.listdir(ckpt_dir)
-                       if d.startswith("step_") and not d.endswith(".tmp"))
+                       if d.startswith("step_") and ".tmp" not in d)
         for old in steps[:-rotate]:
             import shutil
             shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)

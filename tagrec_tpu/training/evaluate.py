@@ -66,8 +66,14 @@ class Evaluator:
             self._test_pad[split] = jnp.asarray(pad)
             self._test_deg[split] = jnp.asarray(te_deg)
 
-        self._batch_eval_cache = {}
-        self._forward_cache = {}
+        # Keyed by weak model reference: id(model) would alias a NEW model to
+        # a dead model's jitted closure after GC reuses the id (the closure
+        # captures model.forward).  WeakKeyDictionary entries die with the
+        # model instead.
+        import weakref
+        self._batch_eval_cache = weakref.WeakKeyDictionary()
+        self._forward_cache = weakref.WeakKeyDictionary()
+        self._sharded_eval_cache: Dict[int, object] = {}  # n_valid -> fn
 
     # ------------------------------------------------------------------ core
     def _forward_fn(self, model):
@@ -78,15 +84,14 @@ class Evaluator:
         embeddings are batch-independent, so hoisting the forward out of the
         user-batch loop changes nothing numerically and cuts eval cost by
         ~n_batches x on the propagation-heavy models (DGCF/TGCN)."""
-        key = id(model)
-        if key not in self._forward_cache:
+        if model not in self._forward_cache:
             @jax.jit
             def fwd(params, gdev):
                 embs = model.forward(params, gdev, training=False)
                 return embs[0], embs[1]
 
-            self._forward_cache[key] = fwd
-        return self._forward_cache[key]
+            self._forward_cache[model] = fwd
+        return self._forward_cache[model]
 
     def _batch_eval_fn(self, model):
         """Build the jit'd per-user-batch eval kernel over precomputed
@@ -95,9 +100,8 @@ class Evaluator:
         The padded positive tables flow as ARGUMENTS (not closures): jit
         constants get pathological layouts on TPU (~100x slower, measured on
         the adjacency tables)."""
-        key = id(model)
-        if key in self._batch_eval_cache:
-            return self._batch_eval_cache[key]
+        if model in self._batch_eval_cache:
+            return self._batch_eval_cache[model]
 
         topks = tuple(self.cfg.topks)
         max_k = max(topks)
@@ -117,15 +121,14 @@ class Evaluator:
                 valid)
             return sums
 
-        self._batch_eval_cache[key] = batch_eval
+        self._batch_eval_cache[model] = batch_eval
         return batch_eval
 
     def _sharded_batch_eval_fn(self, n_valid: int):
         """Distributed per-user-batch eval kernel (mesh mode): sharded scoring
         + distributed top-k + count-based AUC via parallel.topk."""
-        key = ("sharded", n_valid)
-        if key in self._batch_eval_cache:
-            return self._batch_eval_cache[key]
+        if n_valid in self._sharded_eval_cache:
+            return self._sharded_eval_cache[n_valid]
 
         from tagrec_tpu.parallel import topk as ptopk
 
@@ -143,7 +146,7 @@ class Evaluator:
                 u_sel, i_shard, tp, te, td, trd, valid, topks, mesh,
                 n_valid=n_valid)
 
-        self._batch_eval_cache[key] = batch_eval
+        self._sharded_eval_cache[n_valid] = batch_eval
         return batch_eval
 
     def run(self, model, params, gdev, istest: bool = False,

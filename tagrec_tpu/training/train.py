@@ -92,11 +92,12 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
 
     User draws match the reference exactly in distribution
     (train_data/utils.py:58-64): WITHOUT replacement within a batch when
-    enough users exist (a fresh permutation prefix per step), with
-    replacement otherwise."""
+    len(all_user) > batch (random.sample; strict inequality — at equality
+    the reference falls through to np.random.choice WITH replacement, a
+    quirk kept on purpose), with replacement otherwise."""
     cor_sizes = cor_sizes or {}
     n_users = len(user_ids)
-    without_replacement = n_users >= batch
+    without_replacement = n_users > batch
     data = {"users": jnp.asarray(user_ids, dtype=jnp.int32), "pt": pos_table}
 
     def epoch_reset(key, data):

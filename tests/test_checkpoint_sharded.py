@@ -63,6 +63,29 @@ def test_rotation_keeps_newest(mesh8, tmp_path):
     assert ckpt.latest_step_dir(root).endswith("step_00000004")
 
 
+def test_resave_same_step_replaces_and_tmp_ignored(mesh8, tmp_path):
+    """Re-saving an existing step (crash mid-rotation) must replace the stale
+    dir (not silently keep it / leak .tmp), and crashed-run step_*.tmp{p}
+    leftovers must not count as checkpoints for rotation or latest."""
+    root = str(tmp_path / "ck")
+    t1 = _tree(seed=1)
+    p1 = shd.place(t1, shd.params_sharding(t1, mesh8))
+    ckpt.save_sharded(root, p1, step=7)
+    t2 = _tree(seed=2)
+    p2 = shd.place(t2, shd.params_sharding(t2, mesh8))
+    d = ckpt.save_sharded(root, p2, step=7)  # re-save of the same step
+    got = ckpt.load_sharded(d, jax.tree_util.tree_map(np.asarray, t2))
+    np.testing.assert_allclose(np.asarray(got["w"]), np.asarray(t2["w"]))
+    assert not any(".tmp" in x for x in os.listdir(root))
+
+    # a crashed-run tmp dir newer than every real step is invisible
+    os.makedirs(os.path.join(root, "step_00000099.tmp0"))
+    ckpt.save_sharded(root, p2, step=8, rotate=2)
+    assert ckpt.latest_step_dir(root).endswith("step_00000008")
+    kept = sorted(x for x in os.listdir(root) if x.startswith("step_"))
+    assert kept == ["step_00000007", "step_00000008", "step_00000099.tmp0"]
+
+
 def test_structure_mismatch_raises(mesh8, tmp_path):
     tree = _tree()
     placed = shd.place(tree, shd.params_sharding(tree, mesh8))

@@ -89,22 +89,49 @@ def test_initialize_single_process_noop(monkeypatch):
 
 def test_scaling_report_runs():
     """Harness sanity on the virtual mesh: returns examples/s per mesh size
-    (the real ≥85% 1→N number requires hardware; this validates the math)."""
+    (the real ≥85% 1→N number requires hardware; this validates the math).
+
+    Shard-math invariant: the SAME (rep-seeded) inputs sharded over dp=1/2/4
+    must produce the identical step result — data parallelism may not change
+    the computed value."""
     from tagrec_tpu.parallel import sharding as shd
 
     batch = 64
+    results = {}
 
-    def args_fn(mesh):
-        x = jnp.ones((batch, 32), jnp.float32)
-        w = jnp.ones((32, 32), jnp.float32)
-        x = jax.device_put(x, shd.batch_sharded(mesh))
-        w = jax.device_put(w, shd.replicated(mesh))
-        return x, w
+    def make_args_fn(n):
+        def args_fn(mesh, rep):
+            # inputs vary per rep (anti-pipelining) but NOT per mesh size,
+            # so cross-mesh results are comparable
+            x = jax.random.normal(jax.random.PRNGKey(rep), (batch, 32))
+            w = jnp.ones((32, 32), jnp.float32)
+            x = jax.device_put(x, shd.batch_sharded(mesh))
+            w = jax.device_put(w, shd.replicated(mesh))
+            results.setdefault(rep, {})[n] = float(
+                jnp.sum(jax.nn.relu(x @ w)))
+            return x, w
+        return args_fn
 
     @jax.jit
     def step(x, w):
         return jnp.sum(jax.nn.relu(x @ w))
 
-    out = launch.scaling_report(step, args_fn, [1, 2, 4], batch, reps=2)
+    out = {}
+    for n in (1, 2, 4):
+        out.update(launch.scaling_report(step, make_args_fn(n), [n], batch,
+                                         reps=2))
     assert set(out) == {1, 2, 4}
     assert all(v > 0 for v in out.values())
+    for rep, per_mesh in results.items():
+        vals = list(per_mesh.values())
+        np.testing.assert_allclose(vals, vals[0], rtol=1e-5)
+
+    # weak-scaling mode: examples/s is computed against batch * n
+    def args_fn1(mesh, rep):
+        x = jnp.full((batch, 32), 1.0 + rep, jnp.float32)
+        return (jax.device_put(x, shd.batch_sharded(mesh)),
+                jax.device_put(jnp.ones((32, 32)), shd.replicated(mesh)))
+
+    w1 = launch.scaling_report(step, args_fn1, [2], batch, reps=2, weak=True)
+    s1 = launch.scaling_report(step, args_fn1, [2], batch, reps=2)
+    assert w1[2] > 0 and s1[2] > 0  # weak mode credits batch * n examples

@@ -77,6 +77,25 @@ def test_tgcn_on_device_resampling(tiny_graph):
     s2 = m2.forward(params, g2, training=True, key=jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(s1[0]), np.asarray(s2[0]))
 
+    # resampling draws from the FULL neighbor lists: every sample is a true
+    # neighbor (+1-shifted) and, over many keys, a degree > k node's union of
+    # draws exceeds k distinct ids (no first-k truncation).
+    starts, cols, _ = (np.asarray(x) for x in gdev["csr"]["u_iw"])
+    deg = starts[1:] - starts[:-1]
+    k = cfg.neighbor_k
+    union = {}
+    for t in range(30):
+        tabs = m._resample(gdev, jax.random.PRNGKey(100 + t))
+        idx = np.asarray(tabs["u_iw"][0])
+        for r in range(len(deg)):
+            true_nb = set((cols[starts[r]:starts[r + 1]]).tolist())
+            got = set(idx[r].tolist())
+            assert got <= (true_nb or {0})
+            union.setdefault(r, set()).update(got)
+    big = [r for r in range(len(deg)) if deg[r] > k]
+    if big:
+        assert any(len(union[r]) > k for r in big)
+
 
 def test_tgcn_edgemap_tier_matches_plain(tiny_graph):
     """TGCN adj_mode='ell' (scatter-free edge_vgather formulation) must be
