@@ -27,7 +27,27 @@ class KnowledgeGraph:
         self.graph = graph
         path = os.path.join(data_root, dataset, "kg_final.txt")
         self.kg_data = np.unique(runtime.parse_triples(path), axis=0)
+        self._finish_init()
 
+    @classmethod
+    def synthetic(cls, graph: HeteroGraph, n_entity: int = 15_000,
+                  n_triples: int = 500_000, n_rela: int = 6,
+                  seed: int = 0) -> "KnowledgeGraph":
+        """In-memory KG for benchmarks/tests (no kg_final.txt on disk).
+
+        Entities 0..n_entity-1 include the items (reference convention:
+        item ids are the low entity ids); random (h, r, t) triples."""
+        self = cls.__new__(cls)
+        self.graph = graph
+        rng = np.random.default_rng(seed)
+        kg = np.stack([rng.integers(0, n_entity, n_triples),
+                       rng.integers(0, n_rela, n_triples),
+                       rng.integers(0, n_entity, n_triples)], axis=1)
+        self.kg_data = np.unique(kg.astype(np.int64), axis=0)
+        self._finish_init()
+        return self
+
+    def _finish_init(self) -> None:
         h_max = int(self.kg_data[:, 0].max())
         r_max = int(self.kg_data[:, 1].max())
         t_max = int(self.kg_data[:, 2].max())

@@ -13,11 +13,11 @@ import numpy as np
 import pytest
 
 
-def _run_cli(tmp_path, tag, extra):
+def _run_cli(tmp_path, tag, extra, model="dgcf"):
     from tagrec_tpu import cli
 
     out = os.path.join(str(tmp_path), tag)
-    argv = ["--model", "dgcf", "--dataset", "synthetic",
+    argv = ["--model", model, "--dataset", "synthetic",
             "--train_batch", "128", "--epochs", "2", "--test_interval", "1",
             "--patient_epoch", "2", "--group_k", "1", "--reg", "1e-4",
             "--out_dir", out] + extra
@@ -46,6 +46,29 @@ def test_cli_dp_mp_matches_single_device(tmp_path):
             np.asarray(single["test"][metric]), rtol=2e-3, atol=1e-5,
             err_msg=metric)
     # count-based distributed AUC vs argsort AUC: equal up to fp ties
+    np.testing.assert_allclose(np.asarray(meshed["test"]["auc"]),
+                               np.asarray(single["test"]["auc"]),
+                               rtol=5e-3)
+    assert meshed["best_epoch"] == single["best_epoch"]
+
+
+@pytest.mark.slow
+def test_cli_dp_mp_two_phase_kgat(tmp_path):
+    """KGAT under --dp 4 --mp 2: TWO phases (BPR + TransE) sharing one Adam
+    state (com.py:68-86 — the reference's trickiest trainer semantics) must
+    reproduce single-device metrics under SPMD (VERDICT r2 #4)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    single = _run_cli(tmp_path, "kgat_single", [], model="kgat")
+    meshed = _run_cli(tmp_path, "kgat_mesh", ["--dp", "4", "--mp", "2"],
+                      model="kgat")
+
+    for metric in ("recall", "precision", "hr", "ndcg"):
+        np.testing.assert_allclose(
+            np.asarray(meshed["test"][metric]),
+            np.asarray(single["test"][metric]), rtol=2e-3, atol=1e-5,
+            err_msg=metric)
     np.testing.assert_allclose(np.asarray(meshed["test"]["auc"]),
                                np.asarray(single["test"]["auc"]),
                                rtol=5e-3)

@@ -106,14 +106,15 @@ def test_ngcf_parity(tiny_graph):
 
 
 def test_dgcf_parity(tiny_graph):
-    cfg = model_preset("dgcf")
+    cfg = model_preset("dgcf", reg=1e-4)
     model = DGCF(tiny_graph, cfg)
     params = model.init(jax.random.PRNGKey(2))
     gdev = model.device_data()
     batches = fixed_batches(tiny_graph, n_batches=3, seed=9)
-    mirror = TM.TorchDGCF(tiny_graph, [np.asarray(e) for e in params["embed"]])
+    mirror = TM.TorchDGCF(tiny_graph, [np.asarray(e) for e in params["embed"]],
+                          reg=1e-4)
 
-    # reference reg is on ego embeddings with reg=0 default; compare pure BPR
+    # full reference loss: BPR + reg * L2(ego) (model/dgcf.py:125-145)
     def jax_losses():
         opt = optax.adam(0.01)
         state = opt.init(params)
@@ -125,7 +126,7 @@ def test_dgcf_parity(tiny_graph):
             def total(q):
                 parts = model.bpr_loss(q, gdev, batch,
                                        key=jax.random.PRNGKey(0))
-                return parts[0]  # pure BPR (reg=0 default anyway)
+                return sum(parts)
 
             loss, grads = jax.value_and_grad(total)(p)
             updates, state = opt.update(grads, state, p)
@@ -141,7 +142,7 @@ def test_dgcf_parity(tiny_graph):
 
 
 def test_disengcn_parity(tiny_graph):
-    cfg = model_preset("disengcn")
+    cfg = model_preset("disengcn", reg=1e-4)
     model = DisenGCN(tiny_graph, cfg)
     params = model.init(jax.random.PRNGKey(3))
     gdev = model.device_data()
@@ -149,8 +150,9 @@ def test_disengcn_parity(tiny_graph):
     mirror = TM.TorchDisenGCN(
         tiny_graph, [np.asarray(e) for e in params["embed"]],
         [{k: np.asarray(v) for k, v in lp.items()}
-         for lp in params["layers"]])
+         for lp in params["layers"]], reg=1e-4)
 
+    # full reference loss: BPR + reg * L2(final) (model/disengcn.py:100-130)
     def jax_losses():
         opt = optax.adam(0.01)
         state = opt.init(params)
@@ -162,7 +164,7 @@ def test_disengcn_parity(tiny_graph):
             def total(q):
                 parts = model.bpr_loss(q, gdev, batch,
                                        key=jax.random.PRNGKey(0))
-                return parts[0]
+                return sum(parts)
 
             loss, grads = jax.value_and_grad(total)(p)
             updates, state = opt.update(grads, state, p)
@@ -180,7 +182,7 @@ def test_disengcn_parity(tiny_graph):
 def test_disenhan_parity(tiny_graph):
     from tagrec_tpu.models.disenhan import DisenHAN
 
-    cfg = model_preset("disenhan")
+    cfg = model_preset("disenhan", reg=1e-4)
     model = DisenHAN(tiny_graph, cfg)
     params = model.init(jax.random.PRNGKey(4))
     gdev = model.device_data()
@@ -188,8 +190,9 @@ def test_disenhan_parity(tiny_graph):
     mirror = TM.TorchDisenHAN(
         tiny_graph, [np.asarray(e) for e in params["embed"]],
         [{k: np.asarray(v) for k, v in lp.items()}
-         for lp in params["layers"]])
+         for lp in params["layers"]], reg=1e-4)
 
+    # full reference loss: BPR + reg * L2(final) (model/disenhan.py:185-214)
     def jax_losses():
         opt = optax.adam(0.01)
         state = opt.init(params)
@@ -199,8 +202,8 @@ def test_disenhan_parity(tiny_graph):
         @jax.jit
         def step(p, state, batch):
             def total(q):
-                return model.bpr_loss(q, gdev, batch,
-                                      key=jax.random.PRNGKey(0))[0]
+                return sum(model.bpr_loss(q, gdev, batch,
+                                          key=jax.random.PRNGKey(0)))
 
             loss, grads = jax.value_and_grad(total)(p)
             updates, state = opt.update(grads, state, p)

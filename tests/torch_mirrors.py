@@ -102,7 +102,8 @@ class TorchDGCF:
     """model/dgcf.py semantics: plain adjacency, factor routing with detached
     adjacency values, D^-1/2 A D^-1/2 on-the-fly renorm, score updates."""
 
-    def __init__(self, graph, embed_init, factor_k=4, iterate_k=2, num_layer=3):
+    def __init__(self, graph, embed_init, factor_k=4, iterate_k=2, num_layer=3,
+                 reg=1e-4):
         coo = graph.joint_norm_adj("plain", True)
         self.indices = torch.tensor(np.stack([coo.row, coo.col]), dtype=torch.long)
         self.n = coo.shape[0]
@@ -112,6 +113,7 @@ class TorchDGCF:
         self.factor_k, self.iterate_k, self.num_layer = factor_k, iterate_k, num_layer
         self.nu, self.ni = graph.n_user, graph.n_item
         self.dim_k = self.embed[0].shape[1] // factor_k
+        self.reg = reg
 
     def parameters(self):
         return self.embed
@@ -158,7 +160,11 @@ class TorchDGCF:
         fin = self.forward()
         U, I = fin[: self.nu], fin[self.nu: self.nu + self.ni]
         ue, pe, ne = U[u], I[p], I[n]
-        return F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        # model/dgcf.py:125-130: L2 on the EGO embeddings (uncommented there)
+        eu, ei, en = self.embed[0][u], self.embed[1][p], self.embed[1][n]
+        reg = 0.5 * (eu.norm(2) ** 2 + ei.norm(2) ** 2 + en.norm(2) ** 2) / len(u)
+        return loss + self.reg * reg
 
 
 class TorchDisenGCN:
@@ -166,7 +172,8 @@ class TorchDisenGCN:
     neighborhood routing with detached p values, residual + normalize, chained
     layers, factor concat."""
 
-    def __init__(self, graph, embed_init, layer_params, factor_k=4, iterate_k=2):
+    def __init__(self, graph, embed_init, layer_params, factor_k=4, iterate_k=2,
+                 reg=1e-4):
         coo = graph.joint_norm_adj("plain", True)
         self.indices = torch.tensor(np.stack([coo.row, coo.col]), dtype=torch.long)
         self.n = coo.shape[0]
@@ -176,6 +183,7 @@ class TorchDisenGCN:
                         for k, v in lp.items()} for lp in layer_params]
         self.factor_k, self.iterate_k = factor_k, iterate_k
         self.nu, self.ni = graph.n_user, graph.n_item
+        self.reg = reg
 
     def parameters(self):
         ps = list(self.embed)
@@ -214,7 +222,10 @@ class TorchDisenGCN:
         U, I = fin[: self.nu], fin[self.nu: self.nu + self.ni]
         ue, pe, ne = U[u], I[p], I[n]
         loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
-        return loss
+        # model/disengcn.py:110-115: L2 on the FINAL embeddings (the ego
+        # variant is commented out in the reference)
+        reg = 0.5 * (ue.norm(2) ** 2 + pe.norm(2) ** 2 + ne.norm(2) ** 2) / len(u)
+        return loss + self.reg * reg
 
 
 class TorchDisenHAN:
@@ -223,12 +234,13 @@ class TorchDisenHAN:
 
     REL_TYPES = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1))
 
-    def __init__(self, graph, embed_init, layer_params, factor_k=4):
+    def __init__(self, graph, embed_init, layer_params, factor_k=4, reg=1e-4):
         self.embed = [torch.nn.Parameter(torch.tensor(np.asarray(e)))
                       for e in embed_init]
         self.layers = [{k: torch.nn.Parameter(torch.tensor(np.asarray(v)))
                         for k, v in lp.items()} for lp in layer_params]
         self.factor_k = factor_k
+        self.reg = reg
         self.nu, self.ni = graph.n_user, graph.n_item
         ui, ut, it = graph.ui_adj, graph.ut_adj, graph.it_adj
         coos = [ui, ui.transpose(), ut, ut.transpose(), it, it.transpose()]
@@ -298,7 +310,11 @@ class TorchDisenHAN:
         u, p, n = (torch.tensor(batch[:, i], dtype=torch.long) for i in range(3))
         U, I, _ = self.forward()
         ue, pe, ne = U[u], I[p], I[n]
-        return F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        loss = F.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+        # model/disenhan.py:194-199: L2 on the FINAL embeddings (ego variant
+        # commented out in the reference)
+        reg = 0.5 * (ue.norm(2) ** 2 + pe.norm(2) ** 2 + ne.norm(2) ** 2) / len(u)
+        return loss + self.reg * reg
 
 
 class TorchKGATTransE:
