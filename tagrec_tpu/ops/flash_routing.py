@@ -63,13 +63,34 @@ def _scores(q_tile, k_tile, base):
         preferred_element_type=jnp.float32)
 
 
+# Exp-plane execution variant for the VPU-bound [F, TI, TJ] softmax planes
+# (the DGCF/DisenGCN floor, VERDICT r2 #6).  Routing weights are detached in
+# both reference models, so lower-precision PLANES change no gradient path.
+#   f32       — round-2 baseline: F divides + F mask multiplies
+#   f32_recip — fold mask and 1/denominator into ONE [TI, TJ] plane, then F
+#               multiplies (replaces F VPU divides with 1 divide + F mults)
+#   bf16      — exp + normalize in bf16 (2x VPU packing if Mosaic vectorizes
+#               it), f32 denominator accumulation, bf16 aggregation matmul
+#               with f32 MXU accumulation
+# Default set by the round-3 chip measurement (experiments/dgcf_probe.py).
+EXP_MODE = "f32"
+
+
 def _routed_tile(q_tile, k_tile, m_tile, base):
     s = _scores(q_tile, k_tile, base)
     # manual softmax without the max-subtraction pass: both callers' scores
     # are bounded (DGCF: |S| <= 1 + iterations, unit-normalized update dots;
     # DisenGCN: |S| <= 1), so exp cannot overflow — saves a VPU sweep over
     # the [F, TI, TJ] plane (these kernels are VPU-bound, not MXU-bound)
+    if EXP_MODE == "bf16":
+        e = jnp.exp(s.astype(jnp.bfloat16))
+        denom = jnp.sum(e.astype(jnp.float32), axis=0)
+        w = (m_tile.astype(jnp.float32) / denom).astype(jnp.bfloat16)
+        return e * w[None]  # bf16 planes; caller casts x for the MXU dot
     e = jnp.exp(s)
+    if EXP_MODE == "f32_recip":
+        w = m_tile.astype(jnp.float32) / jnp.sum(e, axis=0)
+        return e * w[None]
     p = e / jnp.sum(e, axis=0, keepdims=True)
     return p * m_tile[None].astype(jnp.float32)
 
@@ -82,8 +103,9 @@ def _mm_kernel(base, q_ref, k_ref, m_ref, x_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     p = _routed_tile(q_ref[...], k_ref[...], m_ref[...], base)
+    x = x_ref[...].astype(p.dtype)  # bf16 variant: bf16 MXU, f32 accumulate
     out_ref[...] += jax.lax.dot_general(
-        p, x_ref[...], (((2,), (1,)), ((0,), (0,))),
+        p, x, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
 
@@ -95,7 +117,7 @@ def _rowsum_kernel(base, q_ref, k_ref, m_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     p = _routed_tile(q_ref[...], k_ref[...], m_ref[...], base)
-    out_ref[...] += jnp.sum(p, axis=2)
+    out_ref[...] += jnp.sum(p.astype(jnp.float32), axis=2)
 
 
 def _mm_call(q, k, mask, x, base):
