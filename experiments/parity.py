@@ -345,23 +345,42 @@ def write_parity_md(results, path="PARITY.md"):
         "hetrec = 2000u/10000i/3000t/400k (the BENCH graph; 16-epoch budget "
         "both sides — at 100-600 optimizer steps/epoch every model's NDCG@10 "
         "peaks within the first few evals).  Multi-seed rows show mean "
-        "[min..max] over seeds.\n",
+        "[min..max] over seeds.  The `status` column says what each cell "
+        "still needs: done = >= 1 mirror anchor AND >= 1 ours run at this "
+        "scale; pending-mirror / pending-ours name the missing side.\n",
         "Evidence notes:",
         "* Step-level ground truth is tests/test_parity_torch.py: identical "
         "init + identical batches -> loss-trajectory agreement (rtol <= 5e-3 "
-        "over multiple Adam steps) for all seven models plus KGAT bi_inter "
-        "and true-KG modes.  The end-metric ratios here measure the residual "
-        "effect of the documented sampling deviations + run variance.",
+        "over multiple Adam steps) for all seven models (dgcf/disengcn/"
+        "disenhan on the FULL loss incl. the reg term as of round 3) plus "
+        "KGAT bi_inter and true-KG modes.  The end-metric ratios here "
+        "measure the residual effect of the documented sampling deviations "
+        "+ run variance.",
+        "* ROUND-3 MIRROR FIX: the resampling-family mirrors (dgcf/disengcn/"
+        "disenhan) omitted the reference's `reg * l2reg_loss` term "
+        "(model/disengcn.py:110-130 keeps it; ours always trained with it). "
+        "Mirror anchors re-measured with the fixed mirrors: small "
+        "disengcn/dgcf (all seeds).  Mid-scale dgcf/disengcn/disenhan "
+        "anchors predate the fix (re-running them costs 1-6 h/seed on this "
+        "CPU); at reg=1e-4 on (mostly normalized) embeddings the omitted "
+        "term is ~1e-4 of the loss, well inside the seed spread below.",
+        "* Chaotic-variance ground truth (experiments/disengcn_small.py): "
+        "with IDENTICAL init and IDENTICAL batches, ours-vs-mirror losses "
+        "agree to 1.6e-4 over epoch 0, then fp drift compounds and the "
+        "per-epoch metric ratios swing 0.85..1.35 on the 300-user graph — "
+        "single-seed end-metric ratios at small scale are noise; judge the "
+        "mean and the [min..max] spread, not cells.",
         "* The torch mirrors run on this machine's 2 CPU cores; at hetrec "
-        "scale the routing/attention mirrors (dgcf/disengcn/disenhan/tgcn) "
-        "cost 1-5 h/epoch and are infeasible, so their ours-vs-mirror ratios "
-        "are measured at mid scale (the largest mirror-tractable size) with "
-        "3 seeds for the round-1 outliers; ours-side results at hetrec scale "
-        "are reported for all 7 models.",
-        "* Seed spread at mid scale shows the round-1 outlier ratios were "
-        "seed noise: disengcn ndcg ratios span ~[0.84..1.22] and tgcn "
-        "~[0.76..1.03] across 3 seeds — the per-seed ratio varies far more "
-        "than the mean deviates from 1.",
+        "scale lightgcn/ngcf/kgat mirrors cost 0.5-6 h each (measured) and "
+        "the routing/attention mirrors (dgcf/disengcn/disenhan/tgcn) are "
+        "infeasible (1-5 h/epoch), so their ours-vs-mirror ratios are "
+        "measured at mid scale (the largest mirror-tractable size); "
+        "ours-side results at hetrec scale are reported for all 7 models.",
+        "* hetrec kgat/ngcf/lightgcn run the 16-epoch budget and peak at the "
+        "FIRST eval (best_epoch 0) — those anchors compare early-training "
+        "quality and inherit the chaotic variance above; kgat's absolute "
+        "recall there is ~0.01 (the shipped-config KGAT is degenerate MF, "
+        "quirk #3), so its ratio is the noisiest cell in the matrix.",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
         "only ~5% faster after sector blocking -> stays opt-in "
         "(ModelConfig.adj_dtype).\n",
@@ -370,9 +389,10 @@ def write_parity_md(results, path="PARITY.md"):
         if scale not in results:
             continue
         lines += [f"\n## {scale}\n",
-                  "| model | seeds | ours recall@20 | mirror recall@20 | "
-                  "ours ndcg@20 | mirror ndcg@20 | recall ratio | ndcg ratio |",
-                  "|---|---|---|---|---|---|---|---|"]
+                  "| model | ours/mirror seeds | ours recall@20 | "
+                  "mirror recall@20 | ours ndcg@20 | mirror ndcg@20 | "
+                  "recall ratio | ndcg ratio | status |",
+                  "|---|---|---|---|---|---|---|---|---|"]
         for name, sc in sorted(results[scale].items()):
             o_r, m_r, o_n, m_n = [], [], [], []
             for seed, r in sorted(sc.items()):
@@ -382,8 +402,6 @@ def write_parity_md(results, path="PARITY.md"):
                 if "reference_mirror" in r:
                     m_r.append(r["reference_mirror"]["recall@20"])
                     m_n.append(r["reference_mirror"]["ndcg@20"])
-            if not o_r:
-                continue
 
             def fmt(xs):
                 if not xs:
@@ -393,15 +411,25 @@ def write_parity_md(results, path="PARITY.md"):
                     return f"{m:.4f}"
                 return f"{m:.4f} [{min(xs):.4f}..{max(xs):.4f}]"
 
-            if m_r:
+            if m_r and o_r:
                 rr = (sum(o_r) / len(o_r)) / max(sum(m_r) / len(m_r), 1e-9)
                 nr = (sum(o_n) / len(o_n)) / max(sum(m_n) / len(m_n), 1e-9)
                 rr, nr = f"{rr:.3f}", f"{nr:.3f}"
+                status = "done"
             else:
                 rr = nr = "—"
+                if (scale == "hetrec" and o_r and name in
+                        ("dgcf", "disengcn", "disenhan", "tgcn")):
+                    # 1-5 h/EPOCH for these mirrors at hetrec on 2 CPU
+                    # cores: permanently infeasible, anchored at mid instead
+                    status = "mirror-infeasible (anchor at mid)"
+                else:
+                    status = ("**pending-mirror**" if o_r
+                              else "**pending-ours**")
             lines.append(
-                f"| {name} | {max(len(o_r), len(m_r))} | {fmt(o_r)} | "
-                f"{fmt(m_r)} | {fmt(o_n)} | {fmt(m_n)} | {rr} | {nr} |")
+                f"| {name} | {len(o_r)}/{len(m_r)} | {fmt(o_r)} | "
+                f"{fmt(m_r)} | {fmt(o_n)} | {fmt(m_n)} | {rr} | {nr} | "
+                f"{status} |")
         # bf16 quality rows (ours f32 vs ours bf16, mirror-independent)
         bf_lines = []
         for name, sc in sorted(results[scale].items()):
