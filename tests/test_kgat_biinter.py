@@ -113,3 +113,21 @@ def test_kgat_knowledge_graph_mode(tmp_path, tiny_graph):
         assert np.all(np.isfinite(np.asarray(parts)))
     res = pipe.evaluator.run(pipe.model, params, pipe.gdev)
     assert np.isfinite(res["ndcg"][0])
+
+
+def test_kg_synthetic_matches_file_loader(tmp_path, tiny_graph):
+    """KnowledgeGraph.synthetic (the in-memory bench/test constructor) builds
+    the same triplet structure as the kg_final.txt loader for the same kg
+    data (data/kgat_load.py:8-50 semantics)."""
+    import numpy as np
+    from tagrec_tpu.data.kg import KnowledgeGraph
+
+    kgo = KnowledgeGraph.synthetic(tiny_graph, n_entity=120, n_triples=400,
+                                   n_rela=3, seed=0)
+    d = tmp_path / "kgds"
+    d.mkdir()
+    np.savetxt(d / "kg_final.txt", kgo.kg_data, fmt="%d")
+    from_file = KnowledgeGraph(tiny_graph, str(tmp_path), "kgds")
+    assert kgo.num_entity == from_file.num_entity
+    assert kgo.num_relation == from_file.num_relation
+    np.testing.assert_array_equal(kgo.all_triplet, from_file.all_triplet)
