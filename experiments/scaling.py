@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--model", default="lightgcn")
     ap.add_argument("--mp", type=int, default=1,
                     help="model-parallel factor within each mesh")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: per-device batch fixed at --batch "
+                         "(global batch grows with dp); default is strong "
+                         "scaling (global batch fixed)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="SCALING.md")
     args = ap.parse_args()
@@ -108,18 +112,23 @@ def main():
             continue
         mesh = None if n * args.mp == 1 else make_mesh(
             n * args.mp, data_parallel=n)
-        eps = measure(mesh, graph, args.batch, args.steps, args.model)
+        # weak scaling: per-device batch fixed -> global batch grows with dp
+        gbatch = args.batch * n if args.weak else args.batch
+        eps = measure(mesh, graph, gbatch, args.steps, args.model)
         if base is None:
             base = eps
         eff = eps / (base * n / args.sizes[0])
         rows.append((n, round(eps, 1), round(100 * eff, 1)))
-        print(f"dp={n} mp={args.mp}: {eps:.1f} examples/s "
+        print(f"dp={n} mp={args.mp} batch={gbatch}: {eps:.1f} examples/s "
               f"(efficiency {100*eff:.1f}%)", flush=True)
 
     with open(args.out, "w") as f:
         f.write("# SCALING — data-parallel examples/s vs mesh size\n\n")
         f.write(f"Backend: **{backend}** ({n_dev} devices), model "
-                f"{args.model}, global batch {args.batch}, mp={args.mp}.\n")
+                f"{args.model}, "
+                f"{'per-device' if args.weak else 'global'} batch "
+                f"{args.batch}, mp={args.mp}, "
+                f"{'weak' if args.weak else 'strong'} scaling.\n")
         if backend == "cpu":
             f.write("\n> Virtual CPU mesh: all devices share this host's 2 "
                     "physical cores, so efficiency here validates the "
