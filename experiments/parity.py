@@ -257,6 +257,22 @@ def _deep_merge(base: dict, add: dict) -> dict:
     return base
 
 
+def _deep_adopt(base: dict, add: dict) -> dict:
+    """Merge ``add`` into ``base`` IN PLACE with ``base`` winning on leaves
+    and existing sub-dicts never replaced.  main() must use this (not
+    _deep_merge, which returns a NEW root): rebinding ``results`` orphans the
+    loop's live ``sc``/``r`` references, which silently dropped every
+    seed-after-the-first per model from the written file (round-3 bug: all
+    hetrec s2022 ours cells lost; recovered from logs)."""
+    for k, v in add.items():
+        if k not in base:
+            base[k] = v
+        elif isinstance(v, dict) and isinstance(base[k], dict):
+            _deep_adopt(base[k], v)
+        # else: keep base's (fresher, in-memory) leaf
+    return base
+
+
 def build_scale_graph(scale: str):
     from tagrec_tpu.data.synthetic import synthetic_graph, synthetic_graph_large
 
@@ -327,7 +343,7 @@ def main():
                     on_disk = json.load(open(args.out))
                 except json.JSONDecodeError:
                     pass
-            results = _deep_merge(on_disk, results)
+            _deep_adopt(results, on_disk)  # in place: sc/r stay live
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2, default=float)
 
