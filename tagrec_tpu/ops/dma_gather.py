@@ -24,7 +24,19 @@ double-buffering pattern generalized to an N-deep pipeline).
 Role match: /root/reference/model/help/adj.py:158-167 (SpMM),
 model/tgcn.py:11-37 (neighbor-table gathers), model/kgat.py:96-106
 (attention gathers).  Off-TPU the kernels run in interpret mode so the CPU
-suite covers them; the chip verdict lives in DESIGN.md §8 (round 3).
+suite covers them.
+
+CHIP VERDICT (round 3, v5e, DESIGN.md §8): per-row DMA gather is
+ISSUE-RATE-BOUND at ~25-31 ns/row regardless of slot depth (8/16/32
+identical) — 5.4x slower than jnp.take at the TGCN shape (12.2 vs 2.28 ms
+for 395k x 256B rows) and 7.9x at the KG shape (37.2 vs 4.73 ms for
+1.64M rows); the fused gather_reduce lands at the same wall (12.2 vs
+3.0 ms).  XLA's gather, though ~9-19x off the HBM roofline, is the better
+tool for 256B rows on this chip: its gathers pipeline inside the vector
+pipeline while DMA descriptors serialize on the scalar core.  These
+kernels are kept as measured evidence + the recipe (scalar-prefetch,
+dynamically-addressed copies, N-deep pipeline) for hardware where DMA
+issue is cheaper or rows are >=2KB (where per-row DMA amortizes).
 """
 
 from __future__ import annotations
@@ -86,6 +98,19 @@ def _gather_kernel(idx_ref, x_ref, out_ref, sem, *, block_rows: int,
 # ~1MB by chunking the id table and lax.map-ing the kernel over chunks
 MAX_PREFETCH_IDS = 128 * 1024
 
+# Mosaic requires DMA slice shapes aligned to the ref's tiling: the LANE
+# (last) dim of a per-row copy must be a multiple of 128.  d=64 tables are
+# padded to 128 lanes before the kernel (measured on chip: the copy then
+# moves 2x the payload bytes — fold that into any roofline comparison).
+LANE = 128
+
+
+def _pad_lanes(x):
+    pad = (-x.shape[1]) % LANE
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x
+
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "slots"))
 def gather_rows(x: jax.Array, idx: jax.Array, *, block_rows: int = 1024,
@@ -97,6 +122,7 @@ def gather_rows(x: jax.Array, idx: jax.Array, *, block_rows: int = 1024,
     custom_vjp at the call site if the consumer differentiates through it.
     """
     (r,) = idx.shape
+    d = x.shape[1]
     if r > MAX_PREFETCH_IDS:
         chunk = MAX_PREFETCH_IDS
         pad = (-r) % chunk
@@ -104,7 +130,8 @@ def gather_rows(x: jax.Array, idx: jax.Array, *, block_rows: int = 1024,
         out = jax.lax.map(
             lambda ic: gather_rows(x, ic, block_rows=block_rows,
                                    slots=slots), idx_c)
-        return out.reshape(-1, x.shape[1])[:r]
+        return out.reshape(-1, d)[:r]
+    x = _pad_lanes(x)
     pad = (-r) % block_rows
     if pad:
         idx = jnp.pad(idx, (0, pad))  # pad rows gather row 0, then dropped
@@ -126,7 +153,7 @@ def gather_rows(x: jax.Array, idx: jax.Array, *, block_rows: int = 1024,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
     )(idx.astype(jnp.int32), x)
-    return out[:r]
+    return out[:r, :d]
 
 
 # ----------------------------------------------------------- gather_reduce
@@ -140,11 +167,14 @@ def _reduce_kernel(idx_ref, val_ref, x_ref, out_ref, buf, sem, *,
     (k-deep DMA pipeline), then one einsum does the weighted segment-sum —
     splitting DMA from compute keeps the scalar core issuing back-to-back.
     """
-    base = pl.program_id(0) * block_n
+    # idx arrives FLAT [n*k]: a 2-D scalar-prefetch operand is lane-padded
+    # to 128 in SMEM (measured: [5120, 25] i32 became a 2.6MB allocation,
+    # over the 1MB SMEM), a 1-D one is not
+    base = pl.program_id(0) * block_n * k
     total = block_n * k
 
     def copy(e):
-        row = idx_ref[base + e // k, jax.lax.rem(e, k)]
+        row = idx_ref[base + e]
         return pltpu.make_async_copy(
             x_ref.at[pl.ds(row, 1), :],
             buf.at[pl.ds(e, 1), :],
@@ -167,9 +197,12 @@ def _reduce_kernel(idx_ref, val_ref, x_ref, out_ref, buf, sem, *,
     jax.lax.fori_loop(0, total, body, None)
 
     rows = buf[:].reshape(block_n, k, x_ref.shape[1])
-    out_ref[:] = jax.lax.dot_general(
-        val_ref[:], rows, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    # multiply+sum on the VPU: Mosaic cannot lower the batched
+    # [n,k]x[n,k,d] dot_general (TPU_DotDimensionNumbersAttr parse failure,
+    # measured on chip), and the op is DMA-bound anyway
+    w = val_ref[:].astype(jnp.float32)[:, :, None]
+    out_ref[:] = jnp.sum(rows.astype(jnp.float32) * w,
+                         axis=1).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "slots"))
@@ -181,6 +214,7 @@ def gather_reduce(x: jax.Array, idx: jax.Array, val: jax.Array, *,
     Forward only (the transpose-pair machinery owns the backward).
     """
     n, k = idx.shape
+    d = x.shape[1]
     if n * k > MAX_PREFETCH_IDS:
         rows_per = max(block_n, (MAX_PREFETCH_IDS // k) // block_n * block_n)
         pad = (-n) % rows_per
@@ -189,7 +223,8 @@ def gather_reduce(x: jax.Array, idx: jax.Array, val: jax.Array, *,
         out = jax.lax.map(
             lambda iv: gather_reduce(x, iv[0], iv[1], block_n=block_n,
                                      slots=slots), (idx_c, val_c))
-        return out.reshape(-1, x.shape[1])[:n]
+        return out.reshape(-1, d)[:n]
+    x = _pad_lanes(x)
     pad = (-n) % block_n
     if pad:
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
@@ -203,8 +238,8 @@ def gather_reduce(x: jax.Array, idx: jax.Array, val: jax.Array, *,
             grid=(n_pad // block_n,),
             in_specs=[
                 pl.BlockSpec((block_n, k), lambda g, idx: (g, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                             memory_space=pltpu.VMEM),  # val
+                pl.BlockSpec(memory_space=pl.ANY),      # x (HBM)
             ],
             out_specs=pl.BlockSpec(
                 (block_n, x.shape[1]), lambda g, idx: (g, 0),
@@ -218,5 +253,5 @@ def gather_reduce(x: jax.Array, idx: jax.Array, val: jax.Array, *,
                                        jnp.promote_types(x.dtype, val.dtype)),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(idx.astype(jnp.int32), val, x)
-    return out[:n]
+    )(idx.astype(jnp.int32).ravel(), val, x)
+    return out[:n, :d]
