@@ -36,14 +36,25 @@ class KnowledgeGraph:
         """In-memory KG for benchmarks/tests (no kg_final.txt on disk).
 
         Entities 0..n_entity-1 include the items (reference convention:
-        item ids are the low entity ids); random (h, r, t) triples."""
+        item ids are the low entity ids).  Triples are parallel-free by
+        construction — one relation per unique (h, t) pair, h < t so the
+        reverse copies cannot collide either — which keeps the dense
+        rel-id execution tier eligible (models/kgat.py; real KGs with
+        parallel edges fall back to the edge-map tier automatically)."""
         self = cls.__new__(cls)
         self.graph = graph
         rng = np.random.default_rng(seed)
-        kg = np.stack([rng.integers(0, n_entity, n_triples),
-                       rng.integers(0, n_rela, n_triples),
-                       rng.integers(0, n_entity, n_triples)], axis=1)
-        self.kg_data = np.unique(kg.astype(np.int64), axis=0)
+        h = rng.integers(0, n_entity, int(n_triples * 1.3))
+        t = rng.integers(0, n_entity, int(n_triples * 1.3))
+        h, t = np.minimum(h, t), np.maximum(h, t)
+        keep = h != t
+        h, t = h[keep], t[keep]
+        _, first = np.unique(h.astype(np.int64) * n_entity + t,
+                             return_index=True)
+        h, t = h[first][:n_triples], t[first][:n_triples]
+        r = rng.integers(0, n_rela, len(h))
+        self.kg_data = np.unique(  # same (h, r, t) sort as the file loader
+            np.stack([h, r, t], axis=1).astype(np.int64), axis=0)
         self._finish_init()
         return self
 

@@ -56,6 +56,10 @@ class KGAT:
 
         if kg is not None:
             # knowledge-graph mode: triples are (h, r, t) over users+entities
+            assert kg.num_entity >= graph.n_item, (
+                "items must be a prefix of the entity space "
+                f"(data/kgat_load.py convention): n_item={graph.n_item} > "
+                f"num_entity={kg.num_entity}")
             self.num_entity = kg.num_entity
             self.num_relation = kg.num_relation
             self.n = self.num_user + self.num_entity
@@ -75,8 +79,22 @@ class KGAT:
                                            dtype=np.int64)
                                    for k in range(6)])
         # Execution mode (semantics-neutral): dense MXU-streamed attention at
-        # small/medium N (sector-structured scores only exist in tag-graph
-        # mode), bucketed edge maps otherwise.
+        # small/medium N, bucketed edge maps otherwise.  In KG mode the
+        # relation is per EDGE (not sector-determined), so the dense tier
+        # uses a per-cell int8 relation-id matrix + select-accumulated
+        # relation score planes (ops.dense_adj.rel_dense_row_softmax_scores,
+        # round 3: 1.6M-edge gathers lose to R extra MXU planes); it engages
+        # only when the edge set is dense-representable (no parallel (h, t)
+        # edges, <=127 relations) and falls back to the edge maps otherwise.
+        self.kg_rel_dense = False
+        self.dense = self.flash = False
+        if kg is not None and dense_adj.use_dense(cfg.adj_mode, self.n,
+                                                  self.n):
+            rel_id = dense_adj.rel_id_host(rows, cols, rels, self.n, self.n)
+            if rel_id is not None:
+                self.kg_rel_dense = True
+                self._rel_id_host = rel_id
+                return
         self.dense = (kg is None
                       and dense_adj.use_dense(cfg.adj_mode, self.n, self.n))
         self.flash = self.dense and cfg.adj_mode != "dense_xla"
@@ -131,6 +149,8 @@ class KGAT:
         return masks
 
     def device_data(self):
+        if self.kg_rel_dense:
+            return {"rel_id": jnp.asarray(self._rel_id_host)}
         if self.dense and self.flash:
             return {"fmasks": tuple(jnp.asarray(m) for m in self._flash_masks)}
         if self.dense:
@@ -213,7 +233,15 @@ class KGAT:
         proj = jnp.einsum("nd,rde->rne", all_embed, params["transE"])
         q = jnp.tanh(proj + params["relation"][:, None, :])
 
-        if self.dense and self.flash:
+        if self.kg_rel_dense:
+            # true-KG dense tier: per-cell relation select over R MXU score
+            # planes -> ONE [N, N] attention matrix reused by the layers
+            p_att = dense_adj.rel_dense_row_softmax_scores(q, proj,
+                                                           gdev["rel_id"])
+
+            def att_mm(x):
+                return p_att @ x
+        elif self.dense and self.flash:
             att_mm = self._flash_att_mm(q, proj, gdev["fmasks"])
         elif self.dense:
             # sector-stacked scores -> ONE [N, N] row-softmax attention matrix

@@ -128,6 +128,66 @@ def dense_row_softmax_scores(qhat, khat, mask, chunk: int = 1024):
 
 
 # ---------------------------------------------------------------------------
+# KGAT true-KG mode: per-CELL relation ids (relation is per edge, not
+# sector-determined like the tag graph) -> select-accumulate over relation
+# score planes.  Round-3 rationale: at KG-bench scale (N=19k, R=14, E=1.64M)
+# the R extra MXU score planes cost ~R * N^2 * d_r FLOPs ~= 0.5 TFLOP/sweep
+# (~10ms), far cheaper than 1.6M-edge random gathers at the measured ~12-19x
+# off roofline — the "170x score FLOPs" of DESIGN §8 are MXU FLOPs, which
+# this chip performs ~2 orders of magnitude faster than it serves random
+# 256B gathers.
+# ---------------------------------------------------------------------------
+
+
+def rel_id_host(rows, cols, rels, n_rows: int, n_cols: int):
+    """[n_rows, n_cols] int8 relation-id matrix (-1 = no edge), or ``None``
+    when the edge set is not dense-representable: parallel edges (one (h, t)
+    pair under several relations) cannot share a cell, and int8 caps the
+    relation count at 127."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    rels = np.asarray(rels, dtype=np.int64)
+    if rels.size and int(rels.max()) > 127:
+        return None
+    key = rows * n_cols + cols
+    if len(np.unique(key)) != len(key):
+        return None  # parallel edges -> caller falls back to the edge maps
+    m = np.full((n_rows, n_cols), -1, dtype=np.int8)
+    m[rows, cols] = rels.astype(np.int8)
+    return m
+
+
+def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512):
+    """P [N, M] = masked row softmax of S, S[h, t] = q[r, h] . k[r, t] with
+    r = rel_id[h, t] (int8, -1 = no edge).  q, k: [R, N, dq].
+
+    Chunked over rows; each chunk accumulates
+    ``sum_r where(rel_id == r, q_r @ k_r^T, .)`` — R static MXU matmuls + R
+    selects per sweep.  Relations absent from a chunk still pay their
+    matmul; that is the point (MXU FLOPs beat per-edge gathers here).
+    Fully differentiable (KGAT attention is not detached); the backward
+    rematerializes chunks via jax.checkpoint."""
+    r_, n, dq = q.shape
+    m = k.shape[1]
+    nc = _cdiv(n, chunk)
+    qp = _pad_rows(q, nc * chunk, 1)
+    # pad rows with -1 (no edge), NOT 0 (a real relation id)
+    rp = jnp.pad(rel_id, ((0, nc * chunk - rel_id.shape[0]), (0, 0)),
+                 constant_values=-1)
+    kt = [k[r].T for r in range(r_)]
+
+    def f(i):
+        qc = jax.lax.dynamic_slice(qp, (0, i * chunk, 0), (r_, chunk, dq))
+        rc = jax.lax.dynamic_slice(rp, (i * chunk, 0), (chunk, m))
+        s = jnp.zeros((chunk, m), jnp.float32)
+        for r in range(r_):  # static unroll: R MXU planes + R selects
+            s = jnp.where(rc == r, qc[r] @ kt[r], s)
+        return masked_row_softmax(s, rc >= 0)
+
+    return _row_map(f, nc).reshape(nc * chunk, m)[:n]
+
+
+# ---------------------------------------------------------------------------
 # DisenGCN: per-iteration routed aggregation (factor softmax is detached)
 # ---------------------------------------------------------------------------
 

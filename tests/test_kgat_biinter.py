@@ -115,6 +115,83 @@ def test_kgat_knowledge_graph_mode(tmp_path, tiny_graph):
     assert np.isfinite(res["ndcg"][0])
 
 
+def _parallel_free_kg(graph, n_entity=120, n_pairs=150, n_rela=3, seed=0):
+    """KG whose triplet set (incl. reverses) has no parallel (h, t) edges:
+    unique upper-triangle pairs, one relation each — the precondition for
+    the dense rel-id tier.  n_entity >= n_item (items are a prefix of the
+    entity space, data/kgat_load.py convention)."""
+    assert n_entity >= graph.n_item
+    import numpy as np
+    from tagrec_tpu.data.kg import KnowledgeGraph
+
+    rng = np.random.default_rng(seed)
+    iu = np.triu_indices(n_entity, k=1)
+    sel = rng.choice(len(iu[0]), size=n_pairs, replace=False)
+    kg = KnowledgeGraph.__new__(KnowledgeGraph)
+    kg.graph = graph
+    kg.kg_data = np.stack([iu[0][sel], rng.integers(0, n_rela, n_pairs),
+                           iu[1][sel]], axis=1).astype(np.int64)
+    kg._finish_init()
+    return kg
+
+
+def test_kgat_kg_dense_matches_edgemap(tiny_graph):
+    """True-KG dense tier (per-cell relation ids + select-accumulated MXU
+    score planes) must equal the edgemap tier — forward and gradients
+    (model/kgat.py:69-125 semantics; round-3 perf tier)."""
+    import numpy as np
+    from tagrec_tpu.models.kgat import KGAT
+
+    kg = _parallel_free_kg(tiny_graph)
+    m_d = KGAT(tiny_graph, model_preset("kgat", agg_type="bi_inter",
+                                        reg=1e-4, adj_mode="dense_xla"),
+               kg=kg)
+    m_e = KGAT(tiny_graph, model_preset("kgat", agg_type="bi_inter",
+                                        reg=1e-4, adj_mode="ell"), kg=kg)
+    assert m_d.kg_rel_dense and not m_e.kg_rel_dense
+    params = m_d.init(jax.random.PRNGKey(0))
+    gd, ge = m_d.device_data(), m_e.device_data()
+
+    fd = m_d.forward(params, gd, training=False)
+    fe = m_e.forward(params, ge, training=False)
+    np.testing.assert_allclose(np.asarray(fd[0]), np.asarray(fe[0]),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fd[1]), np.asarray(fe[1]),
+                               rtol=2e-5, atol=1e-6)
+
+    batch = jnp.asarray([[0, 1, 2], [1, 3, 4], [2, 0, 5]], dtype=jnp.int32)
+
+    def tot(model, gdev):
+        return lambda p: sum(model.bpr_loss(p, gdev, batch,
+                                            key=jax.random.PRNGKey(1)))
+
+    ld, grd = jax.value_and_grad(tot(m_d, gd))(params)
+    le, gre = jax.value_and_grad(tot(m_e, ge))(params)
+    np.testing.assert_allclose(float(ld), float(le), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grd),
+                    jax.tree_util.tree_leaves(gre)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_kgat_kg_dense_parallel_edge_fallback(tiny_graph):
+    """Parallel (h, t) edges are not dense-representable: the model must
+    fall back to the edgemap tier, not silently drop an edge."""
+    import numpy as np
+    from tagrec_tpu.models.kgat import KGAT
+
+    kg = _parallel_free_kg(tiny_graph)
+    # duplicate the first pair under a different relation
+    h, r, t = kg.kg_data[0]
+    kg.kg_data = np.concatenate(
+        [kg.kg_data, [[h, (r + 1) % 3, t]]]).astype(np.int64)
+    kg._finish_init()
+    m = KGAT(tiny_graph, model_preset("kgat", agg_type="bi_inter",
+                                      reg=1e-4, adj_mode="dense_xla"), kg=kg)
+    assert not m.kg_rel_dense
+    assert "em" in m.device_data()
+
+
 def test_kg_synthetic_matches_file_loader(tmp_path, tiny_graph):
     """KnowledgeGraph.synthetic (the in-memory bench/test constructor) builds
     the same triplet structure as the kg_final.txt loader for the same kg
