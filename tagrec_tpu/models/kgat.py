@@ -235,9 +235,12 @@ class KGAT:
 
         if self.kg_rel_dense:
             # true-KG dense tier: per-cell relation select over R MXU score
-            # planes -> ONE [N, N] attention matrix reused by the layers
-            p_att = dense_adj.rel_dense_row_softmax_scores(q, proj,
-                                                           gdev["rel_id"])
+            # planes -> ONE [N, N] attention matrix reused by the layers.
+            # adj_dtype=bf16 additionally runs the score planes in bf16.
+            p_att = dense_adj.rel_dense_row_softmax_scores(
+                q, proj, gdev["rel_id"],
+                score_dtype=jnp.bfloat16 if cfg.adj_dtype == "bf16"
+                else jnp.float32)
 
             def att_mm(x):
                 return p_att @ x

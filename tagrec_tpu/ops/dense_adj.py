@@ -157,7 +157,8 @@ def rel_id_host(rows, cols, rels, n_rows: int, n_cols: int):
     return m
 
 
-def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512):
+def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512,
+                                 score_dtype=jnp.float32):
     """P [N, M] = masked row softmax of S, S[h, t] = q[r, h] . k[r, t] with
     r = rel_id[h, t] (int8, -1 = no edge).  q, k: [R, N, dq].
 
@@ -166,23 +167,31 @@ def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512):
     selects per sweep.  Relations absent from a chunk still pay their
     matmul; that is the point (MXU FLOPs beat per-edge gathers here).
     Fully differentiable (KGAT attention is not detached); the backward
-    rematerializes chunks via jax.checkpoint."""
+    rematerializes chunks via jax.checkpoint.
+
+    ``score_dtype=bf16``: the R score planes (matmul inputs/outputs and the
+    select chain) run in bf16 — halves both the plane MXU cost and the
+    [chunk, M] HBM spills between the matmuls and the selects; the softmax
+    itself stays f32.  Opt-in (ties to ModelConfig.adj_dtype): bf16 scores
+    perturb attention logits at ~3 decimal digits."""
     r_, n, dq = q.shape
     m = k.shape[1]
     nc = _cdiv(n, chunk)
-    qp = _pad_rows(q, nc * chunk, 1)
+    qp = _pad_rows(q, nc * chunk, 1).astype(score_dtype)
     # pad rows with -1 (no edge), NOT 0 (a real relation id)
     rp = jnp.pad(rel_id, ((0, nc * chunk - rel_id.shape[0]), (0, 0)),
                  constant_values=-1)
-    kt = [k[r].T for r in range(r_)]
+    kt = [k[r].T.astype(score_dtype) for r in range(r_)]
 
     def f(i):
         qc = jax.lax.dynamic_slice(qp, (0, i * chunk, 0), (r_, chunk, dq))
         rc = jax.lax.dynamic_slice(rp, (i * chunk, 0), (chunk, m))
-        s = jnp.zeros((chunk, m), jnp.float32)
+        s = jnp.zeros((chunk, m), score_dtype)
         for r in range(r_):  # static unroll: R MXU planes + R selects
-            s = jnp.where(rc == r, qc[r] @ kt[r], s)
-        return masked_row_softmax(s, rc >= 0)
+            s = jnp.where(rc == r,
+                          jnp.dot(qc[r], kt[r],
+                                  preferred_element_type=score_dtype), s)
+        return masked_row_softmax(s.astype(jnp.float32), rc >= 0)
 
     return _row_map(f, nc).reshape(nc * chunk, m)[:n]
 
