@@ -117,7 +117,8 @@ def run_mirror(graph, name, epochs, seed=2020):
             reg=1e-4, cor_reg=1e-4)
     elif name == "tgcn":
         tables = {k: (np.asarray(v[0]), np.asarray(v[1]))
-                  for k, v in jm.device_data().items() if k != "em"}
+                  for k, v in jm.device_data().items()
+                  if k in jm.REL_ORDER}
         layer_np = []
         for lp in jparams["layers"]:
             d = {"atten1": {t: {kk: np.asarray(vv) for kk, vv in ap.items()}
@@ -347,8 +348,13 @@ def main():
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2, default=float)
 
-    write_parity_md(results)
-    print("wrote PARITY.md", flush=True)
+    if os.path.basename(args.out) == "parity_results.json":
+        write_parity_md(results)
+        print("wrote PARITY.md", flush=True)
+    else:
+        # side files (e.g. parity_kgat48.json) must not clobber the main
+        # PARITY.md tables — regenerate from the canonical results file only
+        print(f"side out {args.out}: PARITY.md left untouched", flush=True)
 
 
 def write_parity_md(results, path="PARITY.md"):

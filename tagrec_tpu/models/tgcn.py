@@ -38,6 +38,58 @@ from tagrec_tpu.ops import losses
 from tagrec_tpu.ops.propagate import l2_normalize, message_dropout
 
 
+_DEDUP_WIDTHS = (4, 8, 12, 16, 20, 25)
+
+
+def _build_dedup_buckets(idx: np.ndarray, w: np.ndarray,
+                         widths=_DEDUP_WIDTHS):
+    """Compress a sampled [N, k] neighbor table into degree-bucketed DISTINCT
+    (neighbor, weight) pairs with multiplicities.
+
+    The reference samples k=25 neighbors WITH replacement per node
+    (data/utils.py:67-84), so low-degree nodes repeat the same pair many
+    times; on this chip gathers are issue-rate-bound per ROW (DESIGN.md §8 —
+    bf16 halving bytes bought only 13%), so the win is gathering each
+    distinct pair ONCE and folding the duplicate count into the softmax:
+    softmax over 25 slots with duplicates == multiplicity-weighted softmax
+    over distinct pairs (exact, same exp values grouped).  Measured 1.89x
+    fewer gathered rows at hetrec scale after bucket padding.
+
+    Returns (buckets, inv): buckets = list of (rows [Nb], ids [Nb, W],
+    wids [Nb, W], mult [Nb, W] f32, W), pad slots have mult 0; inv[n] =
+    position of node n in the concatenated bucket row order.
+    """
+    n, k = idx.shape
+    assert widths[-1] >= k
+    per_row = []
+    for r in range(n):
+        pair, cnt = np.unique(np.stack([idx[r], w[r]], 1), axis=0,
+                              return_counts=True)
+        per_row.append((pair, cnt))
+    dcount = np.array([len(c) for _, c in per_row])
+    order = []
+    buckets = []
+    for wi, width in enumerate(widths):
+        lo = 0 if wi == 0 else widths[wi - 1]
+        rows = np.nonzero((dcount > lo) & (dcount <= width))[0]
+        if len(rows) == 0:
+            continue
+        ids = np.zeros((len(rows), width), dtype=np.int32)
+        wids = np.zeros((len(rows), width), dtype=np.int32)
+        mult = np.zeros((len(rows), width), dtype=np.float32)
+        for b, r in enumerate(rows):
+            pair, cnt = per_row[r]
+            d = len(cnt)
+            ids[b, :d] = pair[:, 0]
+            wids[b, :d] = pair[:, 1]
+            mult[b, :d] = cnt
+        buckets.append((rows.astype(np.int32), ids, wids, mult))
+        order.append(rows)
+    inv = np.empty(n, dtype=np.int32)
+    inv[np.concatenate(order)] = np.arange(n, dtype=np.int32)
+    return buckets, inv
+
+
 def _sample_neighbor_table(coo: COO, k: int, rng: np.random.Generator):
     """Sample k neighbors (with replacement) + weights per row; ids +1, 0=pad.
 
@@ -103,6 +155,16 @@ class TGCN:
         # em_j and em_w share one fwd slot layout (identical rows/degrees;
         # the fwd ELL bucketing is column-independent) but carry their own
         # transpose structures over the node resp. weight-id spaces.
+        # Default (adj_mode="auto") execution tier: degree-bucketed DEDUPED
+        # tables (see _build_dedup_buckets — 1.9x fewer gathered rows, exact
+        # same math).  adj_mode="dense_xla" keeps the plain 25-wide takes
+        # (the materializing tier); "ell" the EdgeMap tier.  Per-layer
+        # resampling draws fresh tables each step, so it keeps plain takes.
+        self._dedup_host = []
+        if cfg.adj_mode == "auto" and not resample_each_layer:
+            self._dedup_host = [_build_dedup_buckets(idx, w)
+                                for idx, w in self._tables]
+
         self._emaps_host = []
         if cfg.adj_mode == "ell":
             for (idx, w), a in zip(self._tables, adjs):
@@ -126,6 +188,12 @@ class TGCN:
             out["em"] = {name: (emap.to_device(ej), emap.to_device(ew))
                          for name, (ej, ew) in zip(self.REL_ORDER,
                                                    self._emaps_host)}
+        if self._dedup_host:
+            out["dedup"] = {
+                name: (tuple(tuple(jnp.asarray(a) for a in bk)
+                             for bk in buckets), jnp.asarray(inv))
+                for name, (buckets, inv) in zip(self.REL_ORDER,
+                                                self._dedup_host)}
         if self._csr_host:
             out["csr"] = {name: tuple(jnp.asarray(x) for x in csr)
                           for name, csr in zip(self.REL_ORDER,
@@ -177,18 +245,59 @@ class TGCN:
     @staticmethod
     def _atten1(ap, ev, ej, ew, v_j, v_w):
         """Neighbor attention (model/tgcn.py:11-37).  ev [N,d]; ej/ew are the
-        neighbor-type / weight embedding tables (zero row prepended)."""
+        neighbor-type / weight embedding tables (zero row prepended).
+
+        When the tables arrive in bf16 (``adj_dtype="bf16"``), the [N, k, d]
+        gathers, score matmuls, and the backward's scatter-adds all move half
+        the bytes — the step is gather/scatter-throughput-bound (DESIGN.md §8)
+        so this targets the dominant cost directly.  Softmax logits are
+        upcast to f32 (tiny [N, k] tensor), and the aggregate returns f32."""
+        dt = ej.dtype
         eNj = jnp.take(ej, v_j, axis=0)                  # [N, k, d]
         eNw = jnp.take(ew, v_w, axis=0)                  # [N, k, dw]
         k = v_j.shape[1]
+        ev = ev.astype(dt)
         eNv = jnp.broadcast_to(ev[:, None, :], (ev.shape[0], k, ev.shape[1]))
         cat = jnp.concatenate([eNv, eNw], axis=-1)
-        av = cat @ ap["W1"] + eNj @ ap["W2"] + ap["b"]
-        x = jax.nn.relu(av) @ ap["v"].T                  # [N, k, 1]
-        a = jax.nn.softmax(x, axis=1)                    # over k (pads included,
-        # matching the reference which does not mask; zero-degree rows attend
-        # to the zero row uniformly and aggregate to 0)
-        return jnp.sum(a * eNj, axis=1)
+        av = (cat @ ap["W1"].astype(dt) + eNj @ ap["W2"].astype(dt)
+              + ap["b"].astype(dt))
+        x = jax.nn.relu(av) @ ap["v"].T.astype(dt)       # [N, k, 1]
+        a = jax.nn.softmax(x.astype(jnp.float32), axis=1)  # over k (pads
+        # included, matching the reference which does not mask; zero-degree
+        # rows attend to the zero row uniformly and aggregate to 0)
+        return jnp.sum(a.astype(dt) * eNj, axis=1).astype(jnp.float32)
+
+    @staticmethod
+    def _atten1_dedup(ap, ev, ej, ew, buckets, inv):
+        """Attention1 over degree-bucketed DISTINCT (neighbor, weight) pairs.
+
+        Exactly the reference softmax over the k=25 sampled slots
+        (model/tgcn.py:11-37): duplicate slots contribute identical scores,
+        so grouping them multiplies each exp by its multiplicity.  Gathers
+        ~1.9x fewer rows than the plain path at hetrec scale — the step is
+        gather-ISSUE-bound, so row count is the cost (DESIGN.md §8)."""
+        dt = ej.dtype
+        d = ev.shape[1]
+        ev = ev.astype(dt)
+        w1v, w1w = ap["W1"][:d].astype(dt), ap["W1"][d:].astype(dt)
+        w2, b = ap["W2"].astype(dt), ap["b"].astype(dt)
+        vT = ap["v"].T.astype(dt)
+        outs = []
+        for rows, ids, wids, mult in buckets:
+            evb = jnp.take(ev, rows, axis=0)             # [Nb, d]
+            eNj = jnp.take(ej, ids, axis=0)              # [Nb, W, d]
+            eNw = jnp.take(ew, wids, axis=0)             # [Nb, W, dw]
+            av = (evb @ w1v)[:, None, :] + eNw @ w1w + eNj @ w2 + b
+            x = (jax.nn.relu(av) @ vT)[..., 0]           # [Nb, W]
+            x = x.astype(jnp.float32)
+            live = mult > 0
+            xm = jnp.where(live, x, -jnp.inf)
+            mx = jnp.max(xm, axis=-1, keepdims=True)
+            e = mult * jnp.exp(xm - mx)                  # pad slots -> 0
+            a = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jnp.einsum("nw,nwd->nd", a.astype(dt), eNj))
+        return jnp.take(jnp.concatenate(outs, axis=0), inv,
+                        axis=0).astype(jnp.float32)
 
     @staticmethod
     def _atten1_em(ap, ev, ej0, ew0, em_j, em_w):
@@ -267,7 +376,14 @@ class TGCN:
         cfg = self.cfg
         eu, ei, et = params["embed"]
         ew = params["weight"]
-        ew0 = jnp.concatenate([jnp.zeros((1, cfg.dim_weight)), ew], axis=0)
+        # adj_dtype="bf16": the six [N, k] table gathers (and their backward
+        # scatter-adds) dominate the step (DESIGN.md §8); gathering bf16 rows
+        # halves the bytes moved.  Quality gate: PARITY.md bf16 table.
+        # (plain-take path only; the EdgeMap tier keeps f32 tables)
+        tdt = (jnp.bfloat16 if cfg.adj_dtype == "bf16" and "em" not in gdev
+               else jnp.float32)
+        ew0 = jnp.concatenate([jnp.zeros((1, cfg.dim_weight)), ew],
+                              axis=0).astype(tdt)
         outs_u, outs_i, outs_t = [eu], [ei], [et]
         for li, lp in enumerate(params["layers"]):
             if self.resample_each_layer and key is not None:
@@ -276,11 +392,19 @@ class TGCN:
             else:
                 tabs = gdev
             zu = jnp.zeros((1, eu.shape[1]))
-            eu0 = jnp.concatenate([zu, eu], axis=0)
-            ei0 = jnp.concatenate([zu, ei], axis=0)
-            et0 = jnp.concatenate([zu, et], axis=0)
+            eu0 = jnp.concatenate([zu, eu], axis=0).astype(tdt)
+            ei0 = jnp.concatenate([zu, ei], axis=0).astype(tdt)
+            et0 = jnp.concatenate([zu, et], axis=0).astype(tdt)
             a1 = lp["atten1"]
-            if "em" in gdev and tabs is gdev:
+            if "dedup" in gdev and tabs is gdev:
+                dd = gdev["dedup"]
+                eu_iN = self._atten1_dedup(a1["item"], eu, ei0, ew0, *dd["u_iw"])
+                eu_tN = self._atten1_dedup(a1["tag"], eu, et0, ew0, *dd["u_tw"])
+                ei_uN = self._atten1_dedup(a1["user"], ei, eu0, ew0, *dd["i_uw"])
+                ei_tN = self._atten1_dedup(a1["tag"], ei, et0, ew0, *dd["i_tw"])
+                et_uN = self._atten1_dedup(a1["user"], et, eu0, ew0, *dd["t_uw"])
+                et_iN = self._atten1_dedup(a1["item"], et, ei0, ew0, *dd["t_iw"])
+            elif "em" in gdev and tabs is gdev:
                 em = gdev["em"]
                 eu_iN = self._atten1_em(a1["item"], eu, ei0, ew0, *em["u_iw"])
                 eu_tN = self._atten1_em(a1["tag"], eu, et0, ew0, *em["u_tw"])

@@ -127,3 +127,79 @@ def test_tgcn_edgemap_tier_matches_plain(tiny_graph):
                     jax.tree_util.tree_leaves(loss(m_ell, g_ell))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_tgcn_bf16_tables_close_to_f32(tiny_graph):
+    """adj_dtype='bf16' gathers the six neighbor tables in bf16 (the step is
+    gather/scatter-bound, DESIGN.md §8 — half the bytes moved); outputs stay
+    f32 and must track the f32 path closely.  Quality gate at scale:
+    PARITY.md bf16 table."""
+    from tagrec_tpu.models.tgcn import TGCN
+
+    m32 = TGCN(tiny_graph, model_preset("tgcn", reg=1e-4))
+    m16 = TGCN(tiny_graph, model_preset("tgcn", reg=1e-4, adj_dtype="bf16"))
+    params = m32.init(jax.random.PRNGKey(3))
+    f32 = m32.forward(params, m32.device_data(), training=False)
+    f16 = m16.forward(params, m16.device_data(), training=False)
+    for a, b in zip(f32, f16):
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-3)
+
+    batch = jnp.asarray([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+
+    def grads(m):
+        def f(p):
+            return sum(m.bpr_loss(p, m.device_data(), batch,
+                                  key=jax.random.PRNGKey(0)))
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(m32)),
+                    jax.tree_util.tree_leaves(grads(m16))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1.0, atol=5e-3)
+
+
+def test_tgcn_dedup_tier_matches_plain(tiny_graph):
+    """Default TGCN tier (adj_mode='auto'): degree-bucketed DEDUPED tables —
+    multiplicity-weighted softmax over distinct (neighbor, weight) pairs is
+    EXACTLY the reference softmax over the k=25 with-replacement slots
+    (model/tgcn.py:11-37 + data/utils.py:67-84), with ~1.9x fewer gathered
+    rows (gathers are issue-rate-bound, DESIGN.md §8)."""
+    from tagrec_tpu.models.tgcn import TGCN, _build_dedup_buckets
+
+    cfg = model_preset("tgcn", reg=1e-4)
+    m_plain = TGCN(tiny_graph, cfg.replace(adj_mode="dense_xla"))
+    m_dd = TGCN(tiny_graph, cfg)
+    g_plain, g_dd = m_plain.device_data(), m_dd.device_data()
+    assert "dedup" in g_dd and "dedup" not in g_plain
+
+    # structural invariants: multiplicities of each node sum to k, and every
+    # node appears exactly once across buckets
+    for name, (idx, w) in zip(m_dd.REL_ORDER, m_dd._tables):
+        buckets, inv = m_dd._dedup_host[m_dd.REL_ORDER.index(name)]
+        rows = np.concatenate([b[0] for b in buckets])
+        assert sorted(rows.tolist()) == list(range(idx.shape[0]))
+        mult_sum = np.concatenate([b[3].sum(1) for b in buckets])
+        np.testing.assert_array_equal(mult_sum, idx.shape[1])
+        assert np.array_equal(rows[np.asarray(inv)],
+                              np.arange(idx.shape[0]))
+
+    params = m_plain.init(jax.random.PRNGKey(3))
+    f1 = m_plain.forward(params, g_plain, training=False)
+    f2 = m_dd.forward(params, g_dd, training=False)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    batch = jnp.asarray([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+
+    def grads(m, g):
+        def f(p):
+            return sum(m.bpr_loss(p, g, batch, key=jax.random.PRNGKey(0)))
+        return jax.grad(f)(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(grads(m_plain, g_plain)),
+                    jax.tree_util.tree_leaves(grads(m_dd, g_dd))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -395,7 +395,7 @@ def test_tgcn_parity(tiny_graph):
     gdev = model.device_data()
     batches = fixed_batches(tiny_graph, n_batches=3, seed=19)
     tables = {k: (np.asarray(v[0]), np.asarray(v[1]))
-              for k, v in gdev.items() if k != "em"}
+              for k, v in gdev.items() if k in model.REL_ORDER}
     layer_np = []
     for lp in params["layers"]:
         d = {"atten1": {t: {kk: np.asarray(vv) for kk, vv in ap.items()}
