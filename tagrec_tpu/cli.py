@@ -64,6 +64,10 @@ def parse_args(argv=None):
     p.add_argument("--profile", type=str, default="",
                    help="capture a device trace of the training run into this "
                         "directory (TensorBoard-viewable; utils/profiling.py)")
+    p.add_argument("--export", type=str, default="",
+                   help="after training, freeze the best model into a serving "
+                        "artifact (.npz + meta) at this path; query it with "
+                        "python -m tagrec_tpu.serving (serving.py)")
     return p.parse_args(argv)
 
 
@@ -161,6 +165,17 @@ def main(argv=None):
         json.dump({"test": results,
                    "group": {k: v for k, v in groups.items()},
                    "best_epoch": stop.best_epoch}, f, indent=2, default=float)
+
+    if args.export:
+        from tagrec_tpu import serving
+
+        u_t, i_t = serving.export_tables(pipe.model, best, pipe.gdev,
+                                         n_item=graph.n_item)
+        meta = serving.save_export(
+            args.export, u_t, i_t, model_name=args.model,
+            train_pos=graph.user_items["train"],
+            extra={"dataset": args.dataset, "best_epoch": stop.best_epoch})
+        printc(f"serving artifact: {args.export} {meta}")
     return results
 
 
