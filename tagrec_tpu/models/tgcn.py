@@ -61,12 +61,31 @@ def _build_dedup_buckets(idx: np.ndarray, w: np.ndarray,
     """
     n, k = idx.shape
     assert widths[-1] >= k
-    per_row = []
-    for r in range(n):
-        pair, cnt = np.unique(np.stack([idx[r], w[r]], 1), axis=0,
-                              return_counts=True)
-        per_row.append((pair, cnt))
-    dcount = np.array([len(c) for _, c in per_row])
+    # vectorized per-row unique: encode (neighbor, weight) pairs, sort each
+    # row, run-length-encode.  new[:, 0] is always True, so each row's last
+    # run is terminated by the next row's first flat position — one global
+    # diff yields all run lengths.
+    m = int(w.max()) + 1
+    enc = idx.astype(np.int64) * m + w.astype(np.int64)
+    s = np.sort(enc, axis=1)
+    new = np.ones_like(s, dtype=bool)
+    new[:, 1:] = s[:, 1:] != s[:, :-1]
+    dcount = new.sum(1)
+    flat = np.flatnonzero(new.ravel())
+    counts = np.diff(np.append(flat, n * k))
+    vals = s.ravel()[flat]
+    # padded [n, k] distinct matrices (row r uses its first dcount[r] cols)
+    row_of = np.repeat(np.arange(n), dcount)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dcount, out=starts[1:])
+    col_of = np.arange(len(flat)) - starts[row_of]
+    ids_m = np.zeros((n, k), dtype=np.int32)
+    wid_m = np.zeros((n, k), dtype=np.int32)
+    mul_m = np.zeros((n, k), dtype=np.float32)
+    ids_m[row_of, col_of] = vals // m
+    wid_m[row_of, col_of] = vals % m
+    mul_m[row_of, col_of] = counts
+
     order = []
     buckets = []
     for wi, width in enumerate(widths):
@@ -74,16 +93,8 @@ def _build_dedup_buckets(idx: np.ndarray, w: np.ndarray,
         rows = np.nonzero((dcount > lo) & (dcount <= width))[0]
         if len(rows) == 0:
             continue
-        ids = np.zeros((len(rows), width), dtype=np.int32)
-        wids = np.zeros((len(rows), width), dtype=np.int32)
-        mult = np.zeros((len(rows), width), dtype=np.float32)
-        for b, r in enumerate(rows):
-            pair, cnt = per_row[r]
-            d = len(cnt)
-            ids[b, :d] = pair[:, 0]
-            wids[b, :d] = pair[:, 1]
-            mult[b, :d] = cnt
-        buckets.append((rows.astype(np.int32), ids, wids, mult))
+        buckets.append((rows.astype(np.int32), ids_m[rows, :width],
+                        wid_m[rows, :width], mul_m[rows, :width]))
         order.append(rows)
     inv = np.empty(n, dtype=np.int32)
     inv[np.concatenate(order)] = np.arange(n, dtype=np.int32)
