@@ -60,6 +60,7 @@ def run(graph, kg, adj_dtype, epochs, seed=3030):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[3030])
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="experiments/kg_bf16_quality.json")
     args = ap.parse_args()
@@ -80,20 +81,33 @@ def main():
     out = {}
     if os.path.exists(args.out):
         out = json.load(open(args.out))
-    for dt in ("f32", "bf16"):
-        if dt in out:
-            print(f"[{dt}] cached: {out[dt]}", flush=True)
-            continue
-        print(f"=== true-KG kgat adj_dtype={dt} ===", flush=True)
-        out[dt] = run(graph, kg, dt, args.epochs)
-        print(dt, out[dt], flush=True)
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=2, default=float)
-    if "f32" in out and "bf16" in out:
-        for k in ("recall@20", "ndcg@20"):
-            r = out["bf16"][k] / max(out["f32"][k], 1e-9)
-            print(f"{k}: f32={out['f32'][k]:.5f} bf16={out['bf16'][k]:.5f} "
-                  f"ratio={r:.3f}", flush=True)
+    # legacy single-seed layout {dt: {...}} -> {dt: {"3030": {...}}}
+    for dt in list(out):
+        if "recall@20" in out[dt]:
+            out[dt] = {"3030": out[dt]}
+    for seed in args.seeds:
+        for dt in ("f32", "bf16"):
+            cell = out.setdefault(dt, {})
+            if str(seed) in cell:
+                print(f"[{dt}/s{seed}] cached: {cell[str(seed)]}", flush=True)
+                continue
+            print(f"=== true-KG kgat adj_dtype={dt} seed={seed} ===",
+                  flush=True)
+            cell[str(seed)] = run(graph, kg, dt, args.epochs, seed=seed)
+            print(dt, seed, cell[str(seed)], flush=True)
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=2, default=float)
+    for k in ("recall@20", "ndcg@20"):
+        f32 = [v[k] for v in out.get("f32", {}).values()]
+        b16 = [v[k] for v in out.get("bf16", {}).values()]
+        if f32 and b16:
+            import statistics as st
+            r = st.mean(b16) / max(st.mean(f32), 1e-9)
+            print(f"{k}: f32 mean={st.mean(f32):.5f} "
+                  f"[{min(f32):.5f}..{max(f32):.5f}] "
+                  f"bf16 mean={st.mean(b16):.5f} "
+                  f"[{min(b16):.5f}..{max(b16):.5f}] "
+                  f"mean ratio={r:.3f}", flush=True)
 
 
 if __name__ == "__main__":

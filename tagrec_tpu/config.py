@@ -32,12 +32,17 @@ class ModelConfig:
     # Adjacency/attention execution mode (no effect on semantics):
     #   "auto"  — dense MXU-streamed formulation when the [N, M] pattern fits
     #             the dense budget (ops.ell.DENSE_ADJ_BUDGET_BYTES), else the
-    #             degree-bucketed ELL / edgemap formulation
+    #             degree-bucketed ELL / edgemap formulation; for TGCN, the
+    #             slot-dedup bucketed tables (DESIGN.md §8, 1.85x)
     #   "dense" / "ell" — force one path (ell is the sharded-regime format)
+    #   "dense_xla" — chunk-and-materialize XLA tier (attention models);
+    #             for TGCN, the plain 25-wide table takes
     adj_mode: str = "auto"
     # Dense-adjacency stream dtype for the CONSTANT adjacencies
     # (LightGCN/NGCF): "f32" (default, bit-parity with the torch mirrors) or
     # "bf16" (halves the hot matmul's HBM traffic; f32 accumulation).
+    # KGAT true-KG: bf16 relation score planes (165->107ms); TGCN plain path:
+    # bf16 table gathers (no effect on the dedup default — rows, not bytes).
     adj_dtype: str = "f32"
     message_drop_list: Tuple[float, ...] = (0.0, 0.0, 0.0)
     node_drop: float = 0.0  # edge-dropout keep prob knob (reference model/help/adj.py:170)
