@@ -245,9 +245,33 @@ def main():
         return bench_attention_model(graph, "kgat", steps=8, kg=kg,
                                      agg_type="bi_inter")
 
+    def serving_latency():
+        """ms per 256-user top-20 query over the frozen lightgcn export
+        (tagrec_tpu/serving.py) — the online retrieval hot path."""
+        import jax
+
+        from tagrec_tpu import serving as sv
+        from tagrec_tpu.config import model_preset
+        from tagrec_tpu.models.lightgcn import LightGCN
+
+        model = LightGCN(graph, model_preset("lightgcn", reg=1e-4))
+        params = model.init(jax.random.PRNGKey(0))
+        u_t, i_t = sv.export_tables(model, params, model.device_data(),
+                                    n_item=graph.n_item)
+        pad, _ = sv._pad_positives(graph.user_items["train"], graph.n_user)
+        r = sv.Retriever(u_t, i_t, train_pad=pad, block=256)
+        rng = np.random.default_rng(0)
+        r.topk(rng.integers(0, graph.n_user, 256), 20)  # compile
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):  # fresh users per rep + host transfer inside
+            r.topk(rng.integers(0, graph.n_user, 256), 20)
+        return (time.perf_counter() - t0) / reps
+
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(max(int(WINDOW_S - (time.perf_counter() - t_start)), 1))
     try:
+        detail("serving_topk256_ms", 300, serving_latency)
         detail("dgcf_step_ms", 340, lambda: bench_attention_model(
             graph, "dgcf"))
         detail("tgcn_step_ms", 410, lambda: bench_attention_model(
