@@ -101,7 +101,9 @@ def build_pipeline(graph: HeteroGraph, mcfg: ModelConfig,
 
         phases.append(triple_phase("transe", trips, n_rel, n_ids,
                                    mcfg.transe_batch, transe_loss_fn,
-                                   neg_rounds=tcfg.neg_resample_rounds))
+                                   neg_rounds=tcfg.neg_resample_rounds,
+                                   window=(mcfg.transe_sampler
+                                           == "reference_windows")))
 
     if name == "tgcn":
         # TransTag phase over (u, tag, item) triples

@@ -65,6 +65,11 @@ class ModelConfig:
     dim_relation: int = 64
     transe_reg: float = 1e-4
     transe_batch: int = 1024
+    # TransE-phase sampler (SURVEY quirk #5, train_data/transe_training_data.py:31-37):
+    #   "full_pass"         — one full shuffled pass per epoch (deliberate fix, default)
+    #   "reference_windows" — the reference's overlapping [i:i+batch] prefix
+    #                         windows over NEVER-shuffled triples
+    transe_sampler: str = "full_pass"
     # KGAT quirk switch: the reference config sets agg_type="bi_agg" but the code
     # checks for "bi_inter" (model/kgat.py:100 vs utility/config.py:58), so the
     # shipped KGAT never propagates.  agg_type="bi_agg" reproduces that measured

@@ -60,7 +60,11 @@ def _build_dedup_buckets(idx: np.ndarray, w: np.ndarray,
     position of node n in the concatenated bucket row order.
     """
     n, k = idx.shape
-    assert widths[-1] >= k
+    if widths[-1] < k:
+        # configs with neighbor_k beyond the default ladder get extra rungs
+        # (multiples of 8 for lane-friendly tiles) capped by k itself
+        extra = tuple(range(widths[-1] + 7, k, 8))
+        widths = widths + extra + (k,)
     # vectorized per-row unique: encode (neighbor, weight) pairs, sort each
     # row, run-length-encode.  new[:, 0] is always True, so each row's last
     # run is terminated by the next row's first flat position — one global
@@ -106,6 +110,14 @@ def _sample_neighbor_table(coo: COO, k: int, rng: np.random.Generator):
 
     Equivalent to taking the first k columns of the reference's max-degree
     tables (data/utils.py:87-106 + model/tgcn.py:197-199).
+
+    Known delta: the reference's ``all_neighbor_sample`` switches to sampling
+    WITHOUT replacement for rows whose degree reaches the table width
+    (data/utils.py:98-101); we always sample with replacement.  The cases
+    differ only for rows with degree in (k, max_deg] truncated to k — a
+    vanishing fraction at the shipped k=25 — and the slot-dedup tier's
+    multiplicity-weighted softmax is exact for either draw, so distributions
+    are indistinguishable in every parity run (PARITY.md tgcn rows).
     """
     from tagrec_tpu import runtime
 

@@ -54,6 +54,12 @@ def export_tables(model, params, gdev, *, n_item: Optional[int] = None):
     return u_all, i_all
 
 
+def _norm_artifact_path(path: str) -> str:
+    # np.savez appends '.npz' when the path lacks it; normalize here so the
+    # meta sidecar and load_export always key off the same on-disk name.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_export(path: str, user_table: np.ndarray, item_table: np.ndarray,
                 *, model_name: str = "", train_pos=None, extra: dict = None):
     """Write the versioned serving artifact (.npz + sidecar meta json).
@@ -61,6 +67,7 @@ def save_export(path: str, user_table: np.ndarray, item_table: np.ndarray,
     ``train_pos``: optional {user: [item, ...]} dict frozen into the padded
     mask table so the retriever needs no graph object at load time.
     """
+    path = _norm_artifact_path(path)
     arrays = {"user_table": user_table, "item_table": item_table}
     if train_pos is not None:
         pad, deg = _pad_positives(train_pos, user_table.shape[0])
@@ -79,12 +86,18 @@ def save_export(path: str, user_table: np.ndarray, item_table: np.ndarray,
 
 
 def load_export(path: str):
+    path = _norm_artifact_path(path)
     data = np.load(path)
+    for key in ("user_table", "item_table"):
+        if key not in data:
+            raise ValueError(f"serving artifact {path!r} missing {key!r}")
     meta = {}
     if os.path.exists(path + ".meta.json"):
         meta = json.load(open(path + ".meta.json"))
         v = meta.get("version", -1)
-        assert v <= EXPORT_VERSION, f"artifact version {v} is newer than {EXPORT_VERSION}"
+        if v > EXPORT_VERSION:
+            raise ValueError(
+                f"artifact version {v} is newer than supported {EXPORT_VERSION}")
     return data, meta
 
 
@@ -149,6 +162,17 @@ class Retriever:
             return jax.lax.top_k(scores, k)
         return jax.jit(fn)
 
+    def _mesh_fn(self, k: int):
+        from tagrec_tpu.parallel import topk as ptopk
+
+        mesh, n_valid = self.mesh, self._n_valid
+
+        def fn(U, I, users, tp):
+            u = jnp.take(U, users, axis=0)
+            return ptopk.distributed_masked_topk(
+                u, I, tp, k, mesh, n_valid=n_valid)
+        return jax.jit(fn)
+
     def topk(self, users, k: int = 20):
         """-> (item ids [n, k] int32, scores [n, k] f32) for ``users``."""
         users = np.asarray(users, dtype=np.int32)
@@ -158,17 +182,11 @@ class Retriever:
         uq = np.zeros(padded, dtype=np.int32)
         uq[:n] = users
         tp = jnp.take(self._train_pad, jnp.asarray(uq), axis=0)
-        if self.mesh is not None:
-            from tagrec_tpu.parallel import topk as ptopk
-
-            u = jnp.take(self._U, jnp.asarray(uq), axis=0)
-            v, ids = ptopk.distributed_masked_topk(
-                u, self._I, tp, k, self.mesh, n_valid=self._n_valid)
-        else:
-            key = ("single", k)
-            if key not in self._jitted:
-                self._jitted[key] = self._single_fn(k)
-            v, ids = self._jitted[key](self._U, self._I, jnp.asarray(uq), tp)
+        key = ("mesh" if self.mesh is not None else "single", k)
+        if key not in self._jitted:
+            self._jitted[key] = (self._mesh_fn(k) if self.mesh is not None
+                                 else self._single_fn(k))
+        v, ids = self._jitted[key](self._U, self._I, jnp.asarray(uq), tp)
         return (np.asarray(ids[:n], dtype=np.int32),
                 np.asarray(v[:n], dtype=np.float32))
 

@@ -127,15 +127,21 @@ def resampling_phase(name: str, user_ids: np.ndarray, pos_table: sampling.PosTab
 
 
 def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
-                 batch: int, loss_fn, neg_rounds: int = 16) -> PhaseSpec:
+                 batch: int, loss_fn, neg_rounds: int = 16,
+                 window: bool = False) -> PhaseSpec:
     """TransE/TransTag phase: per epoch shuffle all (h, r, t) triples; per
     batch sample a corrupted tail outside the observed (h, r, *) set
     (train_data/transe_training_data.py:12-71).
 
-    Note: the reference KGAT sampler has an overlapping-prefix-window quirk
-    (train_data/transe_training_data.py:35-37, SURVEY quirk #5) that covers
-    only a prefix of the triples each epoch; here every epoch is a full
-    shuffled pass — a deliberate fix, flagged for parity comparisons.
+    ``window=True`` reproduces the reference KGAT sampler's
+    overlapping-prefix-window quirk exactly (SURVEY quirk #5,
+    train_data/transe_training_data.py:31-37): ``reset()`` is a no-op —
+    triples stay in creation order (relation 0..5 concatenated) every epoch —
+    and step i trains on the window ``triples[i : i+batch]``, i stepping by
+    ONE, for ``len(triples) // batch`` steps.  Net effect: each epoch sees
+    only the first ``N//B + B - 1`` triples (overwhelmingly relation-0 ui
+    edges), re-drawn negatives being the only per-epoch variation.  Default
+    ``window=False`` is the deliberate fix: a full shuffled pass per epoch.
     """
     if isinstance(n_rel_or_keys, int):
         pt, keys = sampling.build_triple_table(triples, n_rel_or_keys, n_ids)
@@ -147,14 +153,17 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
             "keys": jnp.asarray(keys, dtype=jnp.int32), "pt": pt}
 
     def epoch_reset(key, data):
+        if window:  # quirk #5: no shuffle, ever
+            return (data["trips"], data["keys"])
         perm = jax.random.permutation(key, data["trips"].shape[0])
         return (jnp.take(data["trips"], perm, axis=0),
                 jnp.take(data["keys"], perm))
 
     def make_batch(key, i, state, data):
         trips, tkeys = state
-        sl = jax.lax.dynamic_slice(trips, (i * batch, 0), (batch, 3))
-        ks = jax.lax.dynamic_slice(tkeys, (i * batch,), (batch,))
+        start = i if window else i * batch
+        sl = jax.lax.dynamic_slice(trips, (start, 0), (batch, 3))
+        ks = jax.lax.dynamic_slice(tkeys, (start,), (batch,))
         neg = sampling.sample_negatives(key, data["pt"], ks,
                                         rounds=neg_rounds)
         # (h, r, t+, t-)

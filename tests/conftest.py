@@ -23,6 +23,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full pipelines, parity runs)")
+
+
 @pytest.fixture(scope="session")
 def tiny_graph():
     """Small deterministic synthetic graph shared across tests."""

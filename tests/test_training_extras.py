@@ -162,3 +162,38 @@ def test_trainer_nan_guard(tiny_graph):
     with pytest.raises(FloatingPointError, match="non-finite loss"):
         trainer.run(params, jax.random.PRNGKey(1), pipe.evaluator,
                     pipe.model, pipe.gdev, _Stop(), log=lambda *a: None)
+
+
+def test_triple_phase_reference_windows():
+    """Quirk #5 (train_data/transe_training_data.py:31-37): window mode must
+    (a) never shuffle — creation order every epoch, (b) slice overlapping
+    [i:i+batch] windows stepping by ONE, (c) run N//batch steps."""
+    from tagrec_tpu.training.train import triple_phase
+
+    rng = np.random.default_rng(3)
+    n, batch, n_ids = 57, 8, 40
+    trips = np.stack([rng.integers(0, n_ids, n),
+                      rng.integers(0, 6, n),
+                      rng.integers(0, n_ids, n)], axis=1).astype(np.int64)
+    phase = triple_phase("transe", trips, 6, n_ids, batch,
+                         loss_fn=None, window=True)
+    assert phase.steps_per_epoch == n // batch
+    state = phase.epoch_reset(jax.random.PRNGKey(0), phase.data)
+    np.testing.assert_array_equal(np.asarray(state[0]), trips)  # no shuffle
+    for i in (0, 3, phase.steps_per_epoch - 1):
+        b = phase.make_batch(jax.random.PRNGKey(i), jnp.asarray(i),
+                             state, phase.data)
+        np.testing.assert_array_equal(np.asarray(b[:, :3]),
+                                      trips[i:i + batch])
+        # corrupted tails never collide with an observed (h, r) tail
+        seen = {(h, r): set() for h, r in trips[:, :2]}
+        for h, r, t in trips:
+            seen[(h, r)].add(t)
+        for h, r, t, neg in np.asarray(b):
+            assert neg not in seen[(h, r)]
+
+    # default mode still shuffles (sanity, not a permutation-of check)
+    full = triple_phase("transe", trips, 6, n_ids, batch, loss_fn=None)
+    st = full.epoch_reset(jax.random.PRNGKey(0), full.data)
+    assert not np.array_equal(np.asarray(st[0]), trips)
+    assert sorted(map(tuple, np.asarray(st[0]))) == sorted(map(tuple, trips))
