@@ -53,14 +53,16 @@ def eval_scores(scores: np.ndarray, users, train_ui, test_ui, topks=(10, 20)):
     return out
 
 
-def run_ours(graph, name, epochs, seed=2020, adj_dtype="f32"):
+def run_ours(graph, name, epochs, seed=2020, adj_dtype="f32",
+             transe_sampler="full_pass"):
     import jax
     from tagrec_tpu.compose import build_pipeline
     from tagrec_tpu.config import TrainConfig, model_preset
     from tagrec_tpu.training.early_stop import EarlyStop
     from tagrec_tpu.training.train import Trainer
 
-    mcfg = model_preset(name, reg=1e-4, adj_dtype=adj_dtype)
+    mcfg = model_preset(name, reg=1e-4, adj_dtype=adj_dtype,
+                        transe_sampler=transe_sampler)
     tcfg = TrainConfig(train_batch=512, test_batch=256, epochs=epochs,
                        test_interval=5, patient_epoch=10, lr=0.01, seed=seed)
     pipe = build_pipeline(graph, mcfg, tcfg)
@@ -294,6 +296,11 @@ def main():
     ap.add_argument("--adj_dtype", choices=["f32", "bf16"], default="f32",
                     help="ours-side adjacency dtype (bf16 quality check); "
                          "bf16 results are stored under key 'tagrec_tpu_bf16'")
+    ap.add_argument("--transe_sampler", choices=["full_pass",
+                                                 "reference_windows"],
+                    default="full_pass",
+                    help="ours-side KGAT TransE sampler (quirk #5 A/B); "
+                         "windows results go under 'tagrec_tpu_winsampler'")
     ap.add_argument("--out", default="experiments/parity_results.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU chip free)")
@@ -306,6 +313,8 @@ def main():
 
     graph = build_scale_graph(args.scale)
     ours_key = "tagrec_tpu" if args.adj_dtype == "f32" else "tagrec_tpu_bf16"
+    if args.transe_sampler == "reference_windows":
+        ours_key = "tagrec_tpu_winsampler"
 
     results = {}
     if os.path.exists(args.out):
@@ -323,7 +332,8 @@ def main():
                 print(f"=== {args.scale}/{name}/s{seed}: ours "
                       f"({args.adj_dtype}) ===", flush=True)
                 ours = run_ours(graph, name, args.epochs, seed=seed,
-                                adj_dtype=args.adj_dtype)
+                                adj_dtype=args.adj_dtype,
+                                transe_sampler=args.transe_sampler)
                 print(name, "ours:", ours, flush=True)
                 r[ours_key] = ours
             if args.side in ("mirror", "both") and "reference_mirror" not in r:
@@ -408,7 +418,21 @@ def write_parity_md(results, path="PARITY.md"):
         "progresses: mid 0.93, small 0.98.",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
         "only ~5% faster after sector blocking -> stays opt-in "
-        "(ModelConfig.adj_dtype).\n",
+        "(ModelConfig.adj_dtype).",
+        "* ROUND-4 ACTUAL-REFERENCE ANCHORS: experiments/run_reference.py "
+        "exports the parity graphs to the reference's file format and runs "
+        "/root/reference itself on CPU (quirk #13 collections shim + numpy-2 "
+        "np.int alias + builtins stubs for com.py's dangling DTAG* names — "
+        "the reference is unrunnable as shipped).  `reference (actual)` "
+        "tables below validate the mirrors end-to-end.  Same protocol "
+        "(xavier init, Adam lr 0.01, batch 512, reg 1e-4, patience 10 on "
+        "ndcg@10) but independent RNG streams, so best_epoch dynamics "
+        "differ; end metrics are the comparison.",
+        "* Negative-sampling A/B (VERDICT r3): the on-device masked re-draw "
+        "sampler (rounds=16) measured 0/200,704 collisions for BPR "
+        "negatives AND 0/200,704 for TransE corrupted tails at hetrec scale "
+        "-> distributionally identical to the reference's exact rejection "
+        "loop; the sampler is not a parity variable.\n",
     ]
     for scale in ("small", "mid", "hetrec"):
         if scale not in results:
@@ -472,6 +496,53 @@ def write_parity_md(results, path="PARITY.md"):
             lines += ["\nbf16 adjacency quality (ours, ndcg@20):\n",
                       "| model | f32 | bf16 | ratio |", "|---|---|---|---|"]
             lines += bf_lines
+        # reference (actual) anchor rows — run_reference.py cells
+        act_lines = []
+        for name, sc in sorted(results[scale].items()):
+            for seed, r in sorted(sc.items()):
+                if "reference_actual" not in r:
+                    continue
+                a = r["reference_actual"]
+                m = r.get("reference_mirror")
+                o = r.get("tagrec_tpu")
+                act_lines.append(
+                    f"| {name} | {seed} | {a['recall@20']:.4f} | "
+                    f"{a['ndcg@20']:.4f} | "
+                    + (f"{m['recall@20']/max(a['recall@20'],1e-9):.3f} | "
+                       f"{m['ndcg@20']/max(a['ndcg@20'],1e-9):.3f} | "
+                       if m else "— | — | ")
+                    + (f"{o['recall@20']/max(a['recall@20'],1e-9):.3f} |"
+                       if o else "— |"))
+        if act_lines:
+            lines += ["\nreference (actual) anchors — /root/reference run "
+                      "end-to-end on this graph (run_reference.py):\n",
+                      "| model | seed | actual recall@20 | actual ndcg@20 | "
+                      "mirror/actual recall | mirror/actual ndcg | "
+                      "ours/actual recall |",
+                      "|---|---|---|---|---|---|---|"]
+            lines += act_lines
+        # quirk-#5 TransE windows-sampler A/B rows (ours-side variant)
+        win_lines = []
+        for name, sc in sorted(results[scale].items()):
+            for seed, r in sorted(sc.items()):
+                if "tagrec_tpu_winsampler" not in r:
+                    continue
+                w = r["tagrec_tpu_winsampler"]
+                m = r.get("reference_mirror")
+                o = r.get("tagrec_tpu")
+                win_lines.append(
+                    f"| {name} | {seed} | {w['recall@20']:.4f} | "
+                    + (f"{o['recall@20']:.4f} | " if o else "— | ")
+                    + (f"{w['recall@20']/max(m['recall@20'],1e-9):.3f} | "
+                       f"{o['recall@20']/max(m['recall@20'],1e-9):.3f} |"
+                       if m and o else "— | — |"))
+        if win_lines:
+            lines += ["\nquirk #5 TransE sampler A/B (ours, "
+                      "transe_sampler=reference_windows vs full_pass):\n",
+                      "| model | seed | windows recall@20 | full recall@20 | "
+                      "windows/mirror | full/mirror |",
+                      "|---|---|---|---|---|---|"]
+            lines += win_lines
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 

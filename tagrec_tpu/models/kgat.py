@@ -94,6 +94,18 @@ class KGAT:
             if rel_id is not None:
                 self.kg_rel_dense = True
                 self._rel_id_host = rel_id
+                # static row segments: user rows carry only the relations
+                # actually observed with a user head (relation 0, UI), entity
+                # rows the rest — skips the provably-empty score planes per
+                # chunk (VERDICT r4 item 7; ~R_user/R of the plane FLOPs on
+                # the user rows).
+                user_rels = tuple(sorted(set(
+                    int(r) for r in np.unique(rels[rows < self.num_user]))))
+                ent_rels = tuple(sorted(set(
+                    int(r) for r in np.unique(rels[rows >= self.num_user]))))
+                self._kg_row_segments = (
+                    (0, self.num_user, user_rels),
+                    (self.num_user, self.num_entity, ent_rels))
                 return
         self.dense = (kg is None
                       and dense_adj.use_dense(cfg.adj_mode, self.n, self.n))
@@ -240,7 +252,8 @@ class KGAT:
             p_att = dense_adj.rel_dense_row_softmax_scores(
                 q, proj, gdev["rel_id"],
                 score_dtype=jnp.bfloat16 if cfg.adj_dtype == "bf16"
-                else jnp.float32)
+                else jnp.float32,
+                row_segments=self._kg_row_segments)
 
             def att_mm(x):
                 return p_att @ x

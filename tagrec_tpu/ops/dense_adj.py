@@ -158,7 +158,8 @@ def rel_id_host(rows, cols, rels, n_rows: int, n_cols: int):
 
 
 def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512,
-                                 score_dtype=jnp.float32):
+                                 score_dtype=jnp.float32,
+                                 row_segments=None):
     """P [N, M] = masked row softmax of S, S[h, t] = q[r, h] . k[r, t] with
     r = rel_id[h, t] (int8, -1 = no edge).  q, k: [R, N, dq].
 
@@ -169,6 +170,14 @@ def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512,
     Fully differentiable (KGAT attention is not detached); the backward
     rematerializes chunks via jax.checkpoint.
 
+    ``row_segments``: optional static ((start, length, rels_tuple), ...) —
+    node-type row ranges with the relation ids that can actually occur on
+    those rows.  KGAT's KG node order is [users | entities]: user rows carry
+    ONLY the user->item interaction relation (1 plane) while entity rows
+    carry the 2*K KG relations + the reverse interaction (data/kgat_load.py:
+    22-38) — restricting each segment's plane loop skips the provably-empty
+    matmuls (r4, VERDICT item 7).  Segments must tile [0, N) in order.
+
     ``score_dtype=bf16``: the R score planes (matmul inputs/outputs and the
     select chain) run in bf16 — halves both the plane MXU cost and the
     [chunk, M] HBM spills between the matmuls and the selects; the softmax
@@ -176,24 +185,32 @@ def rel_dense_row_softmax_scores(q, k, rel_id, chunk: int = 512,
     perturb attention logits at ~3 decimal digits."""
     r_, n, dq = q.shape
     m = k.shape[1]
-    nc = _cdiv(n, chunk)
-    qp = _pad_rows(q, nc * chunk, 1).astype(score_dtype)
-    # pad rows with -1 (no edge), NOT 0 (a real relation id)
-    rp = jnp.pad(rel_id, ((0, nc * chunk - rel_id.shape[0]), (0, 0)),
-                 constant_values=-1)
+    if row_segments is None:
+        row_segments = ((0, n, tuple(range(r_))),)
+    q = q.astype(score_dtype)
     kt = [k[r].T.astype(score_dtype) for r in range(r_)]
 
-    def f(i):
-        qc = jax.lax.dynamic_slice(qp, (0, i * chunk, 0), (r_, chunk, dq))
-        rc = jax.lax.dynamic_slice(rp, (i * chunk, 0), (chunk, m))
-        s = jnp.zeros((chunk, m), score_dtype)
-        for r in range(r_):  # static unroll: R MXU planes + R selects
-            s = jnp.where(rc == r,
-                          jnp.dot(qc[r], kt[r],
-                                  preferred_element_type=score_dtype), s)
-        return masked_row_softmax(s.astype(jnp.float32), rc >= 0)
+    parts = []
+    for (start, length, rels) in row_segments:
+        nc = _cdiv(length, chunk)
+        qs = _pad_rows(q[:, start:start + length], nc * chunk, 1)
+        # pad rows with -1 (no edge), NOT 0 (a real relation id)
+        rs = jnp.pad(rel_id[start:start + length],
+                     ((0, nc * chunk - length), (0, 0)), constant_values=-1)
 
-    return _row_map(f, nc).reshape(nc * chunk, m)[:n]
+        def f(i, qs=qs, rs=rs, rels=rels):
+            qc = jax.lax.dynamic_slice(qs, (0, i * chunk, 0),
+                                       (r_, chunk, dq))
+            rc = jax.lax.dynamic_slice(rs, (i * chunk, 0), (chunk, m))
+            s = jnp.zeros((chunk, m), score_dtype)
+            for r in rels:  # static unroll: only this segment's planes
+                s = jnp.where(rc == r,
+                              jnp.dot(qc[r], kt[r],
+                                      preferred_element_type=score_dtype), s)
+            return masked_row_softmax(s.astype(jnp.float32), rc >= 0)
+
+        parts.append(_row_map(f, nc).reshape(nc * chunk, m)[:length])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -295,10 +295,24 @@ def build_dense(coo, dtype=np.float32) -> HybridHost:
                       dense_cols=None, dense_block=block)
 
 
-def build_hybrid(coo, hub_min_degree: int = 96, max_hub_cols: int = 512,
+# Hub-block byte budget for the adaptive max_hub_cols default: the dense
+# [N, H] block streams at HBM bandwidth once per sweep (17ms/sweep at 2GB on
+# v5e) while every edge it absorbs leaves the issue-rate-bound ELL gather
+# tail (~85GB/s effective, DESIGN §7) — so above hetrec scale the block
+# should grow with the graph instead of staying at the hetrec-tuned 512.
+HUB_BLOCK_BUDGET_BYTES = 1 << 31
+
+
+def build_hybrid(coo, hub_min_degree: int = 96, max_hub_cols=None,
                  boundaries=None, pad_multiple: int = 8) -> HybridHost:
     """Split a COO into hub columns (in-degree >= hub_min_degree, capped at
-    the top ``max_hub_cols``) + bucketed ELL over the remaining edges."""
+    the top ``max_hub_cols``) + bucketed ELL over the remaining edges.
+
+    ``max_hub_cols=None``: adaptive — as many hub columns as fit the
+    HUB_BLOCK_BUDGET_BYTES dense block (at least the hetrec-tuned 512)."""
+    if max_hub_cols is None:
+        max_hub_cols = max(HUB_BLOCK_BUDGET_BYTES // (coo.shape[0] * 4) // 128
+                           * 128, 512)
     indeg = np.bincount(coo.col, minlength=coo.shape[1])
     hub = np.where(indeg >= hub_min_degree)[0]
     if len(hub) > max_hub_cols:
@@ -429,7 +443,7 @@ DENSE_ADJ_BUDGET_BYTES = 2 << 30  # auto-dense when the full matrix fits this
 
 def build_adj_pair(coo, symmetric: bool = False, boundaries=None,
                    pad_multiple: int = 8, hub_min_degree: int = 96,
-                   max_hub_cols: int = 512, mode: str = "auto",
+                   max_hub_cols=None, mode: str = "auto",
                    dense_budget: int = DENSE_ADJ_BUDGET_BYTES,
                    dense_dtype=np.float32, sectors=None) -> AdjPairHost:
     """Build fwd + transpose adjacency from a COO.

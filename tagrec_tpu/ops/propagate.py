@@ -24,17 +24,37 @@ def coo_spmm(row: jnp.ndarray, col: jnp.ndarray, val: jnp.ndarray,
     return jax.ops.segment_sum(gathered, row, num_segments=n_rows)
 
 
+# Budget for the [rows, K, D] gather intermediate of one ELL bucket.  XLA
+# lane-pads the gather's minor dim to 128 and the slot dim to 8, so a d=64
+# table materializes at 2x its logical bytes (measured: the 10x graph's
+# 8GB logical gather padded to 16GB and OOM'd 16GB HBM outright).  Buckets
+# whose padded intermediate exceeds this budget stream in row chunks under
+# lax.map + checkpoint instead — graceful degradation on one chip, the
+# memory role of the reference's sequential --split_adj_k folds
+# (model/help/adj.py:114-140).
+ELL_GATHER_BUDGET_BYTES = 1 << 30
+
+
+def _gather_bytes_per_row(k: int, d: int, itemsize: int = 4) -> int:
+    return -(-k // 8) * 8 * (-(-d // 128) * 128) * itemsize
+
+
 def ell_mm(ell: Ell, x: jnp.ndarray, row_chunk: int | None = None) -> jnp.ndarray:
     """Dense ELL SpMM: out[n] = sum_k val[n,k] * x[idx[n,k]].
 
     Padding slots have val 0, so no mask is needed.  ``row_chunk`` bounds the
-    [chunk, K, D] gather intermediate for very large graphs; XLA fuses the
-    gather + multiply + sum either way.
+    [chunk, K, D] gather intermediate; when None it is derived from
+    ELL_GATHER_BUDGET_BYTES (no chunking for graphs whose whole gather fits —
+    the common case; XLA fuses the gather + multiply + sum either way).
     """
-    if row_chunk is None or ell.idx.shape[0] <= row_chunk:
+    n, k = ell.idx.shape
+    if row_chunk is None:
+        per_row = _gather_bytes_per_row(k, x.shape[1], x.dtype.itemsize)
+        if n * per_row > ELL_GATHER_BUDGET_BYTES:
+            row_chunk = max(ELL_GATHER_BUDGET_BYTES // per_row // 8 * 8, 8)
+    if row_chunk is None or n <= row_chunk:
         return jnp.einsum("nk,nkd->nd", ell.val, jnp.take(x, ell.idx, axis=0))
 
-    n = ell.idx.shape[0]
     pad = (-n) % row_chunk
     idx = jnp.pad(ell.idx, ((0, pad), (0, 0)))
     val = jnp.pad(ell.val, ((0, pad), (0, 0)))
@@ -45,7 +65,9 @@ def ell_mm(ell: Ell, x: jnp.ndarray, row_chunk: int | None = None) -> jnp.ndarra
         ci, cv = c
         return jnp.einsum("nk,nkd->nd", cv, jnp.take(x, ci, axis=0))
 
-    out = jax.lax.map(body, (idx, val))
+    # checkpoint: autodiff callers rematerialize the chunk gather instead of
+    # saving every [chunk, K, D] residual (which would re-create the OOM)
+    out = jax.lax.map(jax.checkpoint(body), (idx, val))
     return out.reshape(-1, x.shape[1])[:n]
 
 

@@ -203,3 +203,24 @@ def test_tgcn_dedup_tier_matches_plain(tiny_graph):
                     jax.tree_util.tree_leaves(grads(m_dd, g_dd))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_tgcn_dedup_widths_beyond_default_ladder(tiny_graph):
+    """neighbor_k > 25 (ADVICE r3): the dedup bucket ladder must extend to k
+    instead of asserting; the model must build and run forward."""
+    import jax
+
+    from tagrec_tpu.models.tgcn import TGCN, _build_dedup_buckets
+
+    idx = np.random.default_rng(0).integers(1, 30, size=(40, 40))
+    w = np.ones_like(idx)
+    buckets, inv = _build_dedup_buckets(idx, w)
+    rows = np.concatenate([b[0] for b in buckets])
+    assert sorted(rows.tolist()) == list(range(40))
+    mult = np.concatenate([b[3].sum(1) for b in buckets])
+    np.testing.assert_array_equal(mult, 40)
+
+    m = TGCN(tiny_graph, model_preset("tgcn", neighbor_k=40))
+    params = m.init(jax.random.PRNGKey(0))
+    out = m.forward(params, m.device_data(), training=False)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

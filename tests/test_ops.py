@@ -295,3 +295,34 @@ def test_hybrid_matches_dense(rand_coo):
         dx = jax.grad(lambda xx: jnp.sum(pair_spmm(xx, adj.fwd, adj.bwd) * g))(x)
         expect = rand_coo.to_dense().T @ np.asarray(g)
         np.testing.assert_allclose(np.asarray(dx), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_mm_auto_chunking_exact(rng):
+    """ELL_GATHER_BUDGET_BYTES auto-chunking (r4 graceful degradation above
+    the dense tier, DESIGN §7): chunked fwd AND grad must be exactly the
+    unchunked program's results."""
+    import jax
+    import jax.numpy as jnp
+    import tagrec_tpu.ops.propagate as P
+    from tagrec_tpu.ops import ell as E
+
+    n, m, d = 500, 300, 64
+    row = rng.integers(0, n, 4000)
+    col = rng.integers(0, m, 4000)
+    val = rng.random(4000).astype(np.float32)
+    coo = type("C", (), {"row": row, "col": col, "val": val,
+                         "shape": (n, m)})()
+    ell = E.to_device(E.ell_from_coo(coo))
+    x = jnp.asarray(rng.random((m, d)).astype(np.float32))
+
+    ref = P.ell_mm(ell, x, row_chunk=None)
+    g_ref = jax.grad(lambda xx: jnp.sum(P.ell_mm(ell, xx) ** 2))(x)
+    old = P.ELL_GATHER_BUDGET_BYTES
+    P.ELL_GATHER_BUDGET_BYTES = 1 << 12  # force chunking at this tiny size
+    try:
+        out = P.ell_mm(ell, x)
+        g = jax.grad(lambda xx: jnp.sum(P.ell_mm(ell, xx) ** 2))(x)
+    finally:
+        P.ELL_GATHER_BUDGET_BYTES = old
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g), rtol=1e-5)
