@@ -51,10 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--group_k", type=int, default=4)
     p.add_argument("--use_kg", action="store_true",
                    help="KGAT: use kg_final.txt (true KG) instead of the tag graph")
-    p.add_argument("--transe_sampler", type=str, default="full_pass",
+    p.add_argument("--transe_sampler", type=str, default=None,
                    choices=["full_pass", "reference_windows"],
-                   help="KGAT TransE phase: full shuffled pass (fix) or the "
-                        "reference's overlapping prefix windows (quirk #5)")
+                   help="KGAT TransE phase: the reference's overlapping "
+                        "prefix windows (quirk #5, kgat preset default) or "
+                        "a full shuffled pass")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size (batch axis)")
     p.add_argument("--mp", type=int, default=1,
@@ -87,7 +88,8 @@ def main(argv=None):
         cor_reg=args.cor_reg,
         use_tag=not args.no_tag,
         adj_mode=args.adj_mode,
-        transe_sampler=args.transe_sampler,
+        **({"transe_sampler": args.transe_sampler}
+           if args.transe_sampler else {}),
     )
     tcfg = TrainConfig(
         train_batch=args.train_batch, test_batch=args.test_batch,

@@ -66,9 +66,16 @@ class ModelConfig:
     transe_reg: float = 1e-4
     transe_batch: int = 1024
     # TransE-phase sampler (SURVEY quirk #5, train_data/transe_training_data.py:31-37):
-    #   "full_pass"         — one full shuffled pass per epoch (deliberate fix, default)
     #   "reference_windows" — the reference's overlapping [i:i+batch] prefix
-    #                         windows over NEVER-shuffled triples
+    #                         windows over NEVER-shuffled triples (KGAT preset
+    #                         default: reproduces the quirk, and measured
+    #                         BETTER end quality — the weak TransE phase lets
+    #                         BPR progress; hetrec recall 0.0296 vs 0.0076,
+    #                         PARITY.md quirk-#5 table)
+    #   "full_pass"         — one full shuffled pass per epoch (the
+    #                         documented "fix"; dataclass default so TGCN's
+    #                         TransTag phase — which the reference DOES run
+    #                         as a full pass — is unaffected)
     transe_sampler: str = "full_pass"
     # KGAT quirk switch: the reference config sets agg_type="bi_agg" but the code
     # checks for "bi_inter" (model/kgat.py:100 vs utility/config.py:58), so the
@@ -97,7 +104,8 @@ _PRESETS = {
                  margin=1.0, transtag_batch=512, neighbor_k=25, transtag_reg=1e-4,
                  mul_loss_func="logsigmoid"),
     "kgat": dict(dim_relation=64, transe_reg=1e-4, transe_batch=1024,
-                 agg_type="bi_agg", mul_loss_func="softplus"),
+                 agg_type="bi_agg", mul_loss_func="softplus",
+                 transe_sampler="reference_windows"),
 }
 
 
