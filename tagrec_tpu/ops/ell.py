@@ -296,11 +296,14 @@ def build_dense(coo, dtype=np.float32) -> HybridHost:
 
 
 # Hub-block byte budget for the adaptive max_hub_cols default: the dense
-# [N, H] block streams at HBM bandwidth once per sweep (17ms/sweep at 2GB on
-# v5e) while every edge it absorbs leaves the issue-rate-bound ELL gather
-# tail (~85GB/s effective, DESIGN §7) — so above hetrec scale the block
-# should grow with the graph instead of staying at the hetrec-tuned 512.
-HUB_BLOCK_BUDGET_BYTES = 1 << 31
+# [N, H] block streams at HBM bandwidth once per sweep while every edge it
+# absorbs leaves the issue-rate-bound ELL gather tail (~85GB/s effective,
+# DESIGN §7) — so above hetrec scale the block should grow with the graph
+# instead of staying at the hetrec-tuned 512.  1GB: a 2GB block crashed the
+# tunneled TPU worker at 10x scale (single multi-GB transfer; see
+# _to_device_chunked) and doubles HBM pressure for diminishing zipf-tail
+# coverage.
+HUB_BLOCK_BUDGET_BYTES = 1 << 30
 
 
 def build_hybrid(coo, hub_min_degree: int = 96, max_hub_cols=None,
@@ -336,12 +339,26 @@ def build_hybrid(coo, hub_min_degree: int = 96, max_hub_cols=None,
                       dense_block=block)
 
 
+def _to_device_chunked(arr: np.ndarray, max_bytes: int = 256 << 20):
+    """Host->device transfer in row chunks: a single multi-GB device_put
+    through the tunneled backend can crash the worker (observed with a 2GB
+    hub block at 10x scale); ~256MB pieces ride the same data path the
+    hetrec-scale sector blocks use, then concatenate on device."""
+    nbytes = arr.size * arr.itemsize
+    if nbytes <= max_bytes or arr.ndim < 2 or arr.shape[0] < 2:
+        return jnp.asarray(arr)
+    rows_per = max(int(arr.shape[0] * max_bytes / nbytes), 1)
+    pieces = [jnp.asarray(arr[i:i + rows_per])
+              for i in range(0, arr.shape[0], rows_per)]
+    return jnp.concatenate(pieces, axis=0)
+
+
 def hybrid_to_device(h: HybridHost) -> Hybrid:
     return Hybrid(ell=buckets_to_device(h.ell),
                   dense_cols=None if h.dense_cols is None
                   else jnp.asarray(h.dense_cols),
                   dense_block=None if h.dense_block is None
-                  else jnp.asarray(h.dense_block))
+                  else _to_device_chunked(h.dense_block))
 
 
 class DenseSectorsHost(NamedTuple):
