@@ -12,7 +12,8 @@ from parity import _deep_adopt, write_parity_md  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAIN = os.path.join(ROOT, "experiments", "parity_results.json")
-SIDES = ["parity_winsampler.json", "parity_winsampler48.json"]
+SIDES = ["parity_winsampler.json", "parity_winsampler48.json",
+         "parity_mid_refresh.json"]
 
 
 def main():

@@ -326,3 +326,15 @@ def test_ell_mm_auto_chunking_exact(rng):
         P.ELL_GATHER_BUDGET_BYTES = old
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g), rtol=1e-5)
+
+
+def test_to_device_chunked_matches_asarray(rng):
+    """256MB-chunked host->device transfer (r4: a single multi-GB device_put
+    crashed the tunneled TPU worker) must be bit-identical to jnp.asarray."""
+    from tagrec_tpu.ops.ell import _to_device_chunked
+
+    a = rng.random((1037, 48)).astype(np.float32)
+    out = _to_device_chunked(a, max_bytes=16_000)   # forces ~13-row pieces
+    np.testing.assert_array_equal(np.asarray(out), a)
+    small = rng.random((4, 4)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(_to_device_chunked(small)), small)
