@@ -75,14 +75,22 @@ def bench_tpu(graph, batch=512, steps=100):
     assert np.isfinite(checksum)
     n_steps = phase.steps_per_epoch
     # roofline accounting: the step is HBM-bound on the adjacency stream
-    # (DESIGN.md §7) — each of the L layers reads the full adjacency once
-    # forward and once in the transpose backward (symmetric blocks, same
-    # bytes), so bytes/step = adj_bytes * 2L.  Embedding activations
+    # (DESIGN.md §7).  Per step, each of the L layers reads the forward
+    # sector blocks once and the transpose pair once in the backward — and
+    # the bytes actually streamed are BF16, not f32: TPU default matmul
+    # precision converts f32 operands to bf16, and XLA hoists that
+    # conversion OUT of the whole-epoch while-loop (verified in the
+    # compiled HLO, r4: the loop-body dots take bf16[2000,10000]-etc
+    # parameters), so the steady-state stream is 2 bytes/element.  This is
+    # also why opting into adj_dtype="bf16" storage only buys ~5%: the hot
+    # loop already streams bf16 either way.  Embedding activations
     # ([N, 64] f32 per layer, ~4 MB) are <1% and ignored.
-    adj_bytes = sum(a.size * a.dtype.itemsize
-                    for a in jax.tree_util.tree_leaves(gdev)
+    # gdev already holds BOTH the forward sectors and the transpose pair,
+    # so "all leaves once per layer" covers fwd + bwd streams.
+    adj_elems = sum(a.size for a in jax.tree_util.tree_leaves(gdev)
                     if hasattr(a, "dtype"))
-    sweep_bytes = adj_bytes * 2 * cfg.num_layer
+    bf16_bytes = 2
+    sweep_bytes = adj_elems * bf16_bytes * cfg.num_layer
     return batch * n_steps / dt, dt / n_steps, sweep_bytes
 
 

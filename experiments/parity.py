@@ -532,21 +532,26 @@ def write_parity_md(results, path="PARITY.md"):
                 a = r["reference_actual"]
                 m = r.get("reference_mirror")
                 o = r.get("tagrec_tpu")
+                w = r.get("tagrec_tpu_winsampler")
                 act_lines.append(
                     f"| {name} | {seed} | {a['recall@20']:.4f} | "
                     f"{a['ndcg@20']:.4f} | "
                     + (f"{m['recall@20']/max(a['recall@20'],1e-9):.3f} | "
                        f"{m['ndcg@20']/max(a['ndcg@20'],1e-9):.3f} | "
                        if m else "— | — | ")
-                    + (f"{o['recall@20']/max(a['recall@20'],1e-9):.3f} |"
-                       if o else "— |"))
+                    + (f"{o['recall@20']/max(a['recall@20'],1e-9):.3f} | "
+                       if o else "— | ")
+                    # quirk-faithful column: ours(windows) vs the actual
+                    # reference (which IS the windows sampler, quirk #5)
+                    + (f"{w['recall@20']/max(a['recall@20'],1e-9):.3f} |"
+                       if w else "— |"))
         if act_lines:
             lines += ["\nreference (actual) anchors — /root/reference run "
                       "end-to-end on this graph (run_reference.py):\n",
                       "| model | seed | actual recall@20 | actual ndcg@20 | "
                       "mirror/actual recall | mirror/actual ndcg | "
-                      "ours/actual recall |",
-                      "|---|---|---|---|---|---|---|"]
+                      "ours/actual recall | ours(windows)/actual recall |",
+                      "|---|---|---|---|---|---|---|---|"]
             lines += act_lines
         # quirk-#5 TransE windows-sampler A/B rows (ours-side variant)
         win_lines = []
