@@ -36,7 +36,14 @@ def main():
     ap.add_argument("--n_item", type=int, default=10000)
     ap.add_argument("--n_tag", type=int, default=3000)
     ap.add_argument("--n_edges", type=int, default=400_000)
+    ap.add_argument("--hub_budget_mb", type=int, default=None,
+                    help="override ops.ell.HUB_BLOCK_BUDGET_BYTES (hybrid "
+                         "tier hub-column sweep at 10x scale)")
     args = ap.parse_args()
+    if args.hub_budget_mb is not None:
+        from tagrec_tpu.ops import ell
+        ell.HUB_BLOCK_BUDGET_BYTES = args.hub_budget_mb << 20
+        print(f"hub budget: {args.hub_budget_mb} MB", flush=True)
 
     import jax
 
