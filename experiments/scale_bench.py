@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--hub_budget_mb", type=int, default=None,
                     help="override ops.ell.HUB_BLOCK_BUDGET_BYTES (hybrid "
                          "tier hub-column sweep at 10x scale)")
+    ap.add_argument("--eval", action="store_true",
+                    help="also run one full-catalog evaluation per model "
+                         "(proves the eval path at the probed scale)")
     args = ap.parse_args()
     if args.hub_budget_mb is not None:
         from tagrec_tpu.ops import ell
@@ -102,6 +105,17 @@ def main():
         print(f"[{label}] {per_step*1e3:.2f} ms/step "
               f"({args.batch/per_step:.0f} examples/s) "
               f"loss0={float(np.asarray(parts)[0].sum()):.4f}", flush=True)
+
+        if args.eval:
+            t0 = time.time()
+            res = pipe.evaluator.run(pipe.model, params3, pipe.gdev)
+            dt = time.time() - t0
+            assert all(np.isfinite(np.asarray(v)).all()
+                       for v in res.values()), res
+            print(f"[{label}] eval: {dt:.1f}s "
+                  f"ndcg@10={float(np.asarray(res['ndcg'])[0]):.4f}",
+                  flush=True)
+            results[label + "_eval_ms"] = dt  # RESULT line scales *1e3
 
     print("RESULT " + json.dumps({k: round(v * 1e3, 2)
                                   for k, v in results.items()}), flush=True)
