@@ -442,7 +442,16 @@ def write_parity_md(results, path="PARITY.md"):
         "Reproducing quirk #5 (transe_sampler=reference_windows, now the "
         "kgat preset default) lets training progress (best_epoch 15) and "
         "lifts recall ~3.4x (quirk-#5 A/B table below); the faithful anchor "
-        "is ours(windows) vs reference (actual) — hetrec table.",
+        "is ours(windows) vs reference (actual) — hetrec table.  The "
+        "covered prefix is IDENTICAL in distribution on both sides "
+        "(verified r4: ours' relation-0-first, user-sorted triple order "
+        "covers edges of users 0-12 at hetrec — exactly the subset the "
+        "reference's create_edge() order covers), so the windows sampler "
+        "is not a residual parity variable; what remains is chaotic-regime "
+        "run variance (the reference's own hetrec best is its FIRST eval, "
+        "like every hetrec kgat run on both sides' full_pass mode).  At mid "
+        "scale the quirk-faithful pair agrees: ours(windows) 0.1535 vs "
+        "win-mirror (table below).",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
         "only ~5% faster after sector blocking -> stays opt-in "
         "(ModelConfig.adj_dtype).",

@@ -53,6 +53,13 @@ class KGAT:
         self.cfg = cfg
         self.num_user = graph.n_user
         self.dims = [cfg.dim_latent] + list(cfg.dim_layer_list)
+        # quirk #3 (shipped config, agg_type="bi_agg"): forward() never
+        # propagates, so no adjacency/attention structure is ever read —
+        # skip building it entirely.  At 10x scale the edge-map fallback
+        # otherwise costs ~10 min of host build + multi-GB device tables
+        # for a config that never touches them.  transe_loss/predict only
+        # read params.
+        self.skip_adj = cfg.agg_type != "bi_inter"
 
         if kg is not None:
             # knowledge-graph mode: triples are (h, r, t) over users+entities
@@ -88,6 +95,8 @@ class KGAT:
         # edges, <=127 relations) and falls back to the edge maps otherwise.
         self.kg_rel_dense = False
         self.dense = self.flash = False
+        if self.skip_adj:
+            return
         if kg is not None and dense_adj.use_dense(cfg.adj_mode, self.n,
                                                   self.n):
             rel_id = dense_adj.rel_id_host(rows, cols, rels, self.n, self.n)
@@ -161,6 +170,8 @@ class KGAT:
         return masks
 
     def device_data(self):
+        if self.skip_adj:
+            return {}
         if self.kg_rel_dense:
             return {"rel_id": jnp.asarray(self._rel_id_host)}
         if self.dense and self.flash:

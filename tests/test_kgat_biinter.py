@@ -231,3 +231,25 @@ def test_kg_synthetic_matches_file_loader(tmp_path, tiny_graph):
     assert kgo.num_entity == from_file.num_entity
     assert kgo.num_relation == from_file.num_relation
     np.testing.assert_array_equal(kgo.all_triplet, from_file.all_triplet)
+
+
+def test_kgat_quirk3_skips_adjacency_build(tiny_graph):
+    """Shipped-config KGAT (agg_type='bi_agg', quirk #3) never propagates, so
+    no adjacency/attention structure may be built or shipped: at 10x scale
+    the unused edge-map tables cost ~10 min of host build and OOM'd the chip
+    (r4 probe).  Forward must still work (ego embeddings) with gdev={}."""
+    m = KGAT(tiny_graph, model_preset("kgat", reg=1e-4))
+    assert m.skip_adj
+    assert m.device_data() == {}
+    assert not hasattr(m, "_em_host")
+    params = m.init(jax.random.PRNGKey(0))
+    u, e = m.forward(params, {}, training=False)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(params["user"]),
+                               rtol=1e-6)
+    batch = jnp.asarray([[0, 1, 2], [1, 3, 4]], dtype=jnp.int32)
+    loss = sum(m.bpr_loss(params, {}, batch, key=jax.random.PRNGKey(1)))
+    assert np.isfinite(float(loss))
+    # the intended-propagation switch still builds the full machinery
+    mi = KGAT(tiny_graph, model_preset("kgat", agg_type="bi_inter",
+                                       reg=1e-4))
+    assert not mi.skip_adj and mi.device_data() != {}
