@@ -447,12 +447,22 @@ def write_parity_md(results, path="PARITY.md"):
         "(verified r4: ours' relation-0-first, user-sorted triple order "
         "covers edges of users 0-12 at hetrec — exactly the subset the "
         "reference's create_edge() order covers), so the windows sampler "
-        "is not a residual parity variable; what remains is chaotic-regime "
-        "run variance (the reference's own hetrec best is its FIRST eval, "
-        "like every hetrec kgat run on both sides' full_pass mode).  At mid "
-        "scale — where training progresses past the chaotic first evals — "
-        "the quirk-faithful pair AGREES: ours(windows) 0.1535 vs win-mirror "
-        "0.1568, ratio 0.979 (vs 0.928 for the full_pass pair).",
+        "is not a residual parity variable.  At mid scale — where training "
+        "progresses past the chaotic first evals — the quirk-faithful pair "
+        "AGREES: ours(windows) 0.1535 vs win-mirror 0.1568, ratio 0.979 "
+        "(vs 0.928 for the full_pass pair).  At hetrec the reference forms "
+        "a TIGHT 3-seed cluster (recall 0.0463/0.0467/0.0473, always "
+        "best_epoch 0) ~1.6x above ours(windows) [0.0264..0.0296, "
+        "best_epoch 15] — systematic, not seed noise.  Mechanisms verified "
+        "EQUAL r4: per-step math (loss-trajectory tests), xavier fan "
+        "semantics incl. 3-D transE, phase order (BPR then TransE, one "
+        "shared Adam), steps/epoch, eval interval, negative spaces, quirk-#5 "
+        "coverage.  The open residual is confined to the 16-epoch hetrec "
+        "early regime of THIS one model (kgat mid windows ratio 0.979, "
+        "small 0.98); hetrec win-mirror run pending as the discriminator "
+        "(mirror-side ~0.046 would indicate a jax-side early-dynamics "
+        "effect; ~0.03 would indicate reference-runtime behavior both "
+        "independent reimplementations miss).",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
         "only ~5% faster after sector blocking -> stays opt-in "
         "(ModelConfig.adj_dtype).",
