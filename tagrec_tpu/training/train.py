@@ -144,13 +144,15 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
     ``window=False`` is the deliberate fix: a full shuffled pass per epoch.
     """
     if isinstance(n_rel_or_keys, int):
-        pt, keys = sampling.build_triple_table(triples, n_rel_or_keys, n_ids)
+        # sorted-code membership set: O(T) memory — the padded-row table
+        # OOM'd at 10x scale on zipf hub heads (sampling.TripleSet)
+        ts, keys = sampling.build_triple_set(triples, n_rel_or_keys, n_ids)
     else:
-        pt, keys = n_rel_or_keys
+        ts, keys = n_rel_or_keys
     batch = min(batch, len(triples))  # tiny datasets: one full batch
     steps = max(len(triples) // batch, 1)
     data = {"trips": jnp.asarray(triples, dtype=jnp.int32),
-            "keys": jnp.asarray(keys, dtype=jnp.int32), "pt": pt}
+            "keys": jnp.asarray(keys, dtype=jnp.int32), "ts": ts}
 
     def epoch_reset(key, data):
         if window:  # quirk #5: no shuffle, ever
@@ -164,8 +166,8 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
         start = i if window else i * batch
         sl = jax.lax.dynamic_slice(trips, (start, 0), (batch, 3))
         ks = jax.lax.dynamic_slice(tkeys, (start,), (batch,))
-        neg = sampling.sample_negatives(key, data["pt"], ks,
-                                        rounds=neg_rounds)
+        neg = sampling.sample_negatives_from_set(key, data["ts"], ks,
+                                                 rounds=neg_rounds)
         # (h, r, t+, t-)
         return jnp.concatenate([sl, neg[:, None]], axis=1)
 

@@ -338,3 +338,45 @@ def test_to_device_chunked_matches_asarray(rng):
     np.testing.assert_array_equal(np.asarray(out), a)
     small = rng.random((4, 4)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(_to_device_chunked(small)), small)
+
+
+def test_triple_set_sampling_matches_table():
+    """TripleSet (sorted-pair binary search, O(T) memory) must refuse exactly
+    the tails the padded TripleTable refuses — the set replaces the table in
+    triple_phase because [n_keys, max_tails] padding hits 40+ GB on zipf hubs
+    at 10x scale."""
+    rng = np.random.default_rng(3)
+    triples = np.stack([rng.integers(0, 40, 600), rng.integers(0, 6, 600),
+                        rng.integers(0, 50, 600)], axis=1)
+    ts, keys = sampling.build_triple_set(triples, n_rel=6, n_ids=50)
+    observed = {}
+    for h, r, t in triples:
+        observed.setdefault((int(h), int(r)), set()).add(int(t))
+    kd = jnp.asarray(np.repeat(keys, 10))
+    neg = np.asarray(sampling.sample_negatives_from_set(
+        jax.random.PRNGKey(4), ts, kd, rounds=64))
+    trip_rep = np.repeat(triples, 10, axis=0)
+    for (h, r, _), n in zip(trip_rep, neg):
+        assert int(n) not in observed[(int(h), int(r))]
+    # membership oracle agreement on every (key, tail) in range
+    all_k = np.repeat(np.arange(40 * 6, dtype=np.int32), 50)
+    all_t = np.tile(np.arange(50, dtype=np.int32), 40 * 6)
+    got = np.asarray(sampling._pair_member(ts, jnp.asarray(all_k),
+                                           jnp.asarray(all_t)))
+    want = np.array([(k // 6, k % 6) in observed
+                     and t in observed[(k // 6, k % 6)]
+                     for k, t in zip(all_k, all_t)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_triple_set_no_int32_code_overflow():
+    """keys * n_ids exceeding int32 (the 10x regime that silently truncated
+    the single-code design) must still give exact membership."""
+    n_ids = 150_000
+    triples = np.array([[149_000, 5, 149_999], [149_000, 5, 0],
+                        [10, 0, 3]], dtype=np.int64)
+    ts, keys = sampling.build_triple_set(triples, n_rel=6, n_ids=n_ids)
+    k = jnp.asarray(np.repeat(keys, 2))
+    t = jnp.asarray(np.array([149_999, 149_998, 0, 1, 3, 4], dtype=np.int32))
+    got = np.asarray(sampling._pair_member(ts, k, t))
+    np.testing.assert_array_equal(got, [True, False, True, False, True, False])
