@@ -87,10 +87,18 @@ def bench_tpu(graph, batch=512, steps=100):
     # ([N, 64] f32 per layer, ~4 MB) are <1% and ignored.
     # gdev already holds BOTH the forward sectors and the transpose pair,
     # so "all leaves once per layer" covers fwd + bwd streams.
-    adj_elems = sum(a.size for a in jax.tree_util.tree_leaves(gdev)
-                    if hasattr(a, "dtype"))
-    bf16_bytes = 2
-    sweep_bytes = adj_elems * bf16_bytes * cfg.num_layer
+    # Pricing (ADVICE r4): the bf16 constant is HLO-verified only for FLOAT
+    # matmul operands (the dense sector tier lightgcn uses here); integer
+    # index tables (ELL/hybrid tiers) stream at their full itemsize and are
+    # never bf16-converted.
+    def leaf_bytes(a):
+        if not hasattr(a, "dtype"):
+            return 0
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            return a.size * 2  # bf16 stream in the hot loop (HLO-verified)
+        return a.size * a.dtype.itemsize
+    sweep_bytes = sum(leaf_bytes(a)
+                      for a in jax.tree_util.tree_leaves(gdev)) * cfg.num_layer
     return batch * n_steps / dt, dt / n_steps, sweep_bytes
 
 
@@ -137,7 +145,7 @@ def bench_attention_model(graph, name="dgcf", batch=512, steps=30, kg=None,
 IDLE_BASELINE_ANCHOR = 1687.7
 
 # absolute flagship step-time history (ms) — the stable headline trend
-STEP_MS_HISTORY = {"r1": 4.12, "r2": 2.17, "r3": 2.12}
+STEP_MS_HISTORY = {"r1": 4.12, "r2": 2.17, "r3": 2.12, "r4": 2.09}
 
 # v5e HBM bandwidth (public spec, ~819 GB/s) for the roofline fraction
 HBM_ROOFLINE_GBPS = 819.0
@@ -218,13 +226,8 @@ def main():
                "step_ms_history": dict(STEP_MS_HISTORY),
                "adj_gbps": round(adj_gbps, 1),
                "roofline_frac": round(adj_gbps / HBM_ROOFLINE_GBPS, 3)}
-
-    # the baseline is required for the JSON line -> measure it BEFORE the
-    # optional details (CPU-only, ~30s)
-    base = bench_torch_baseline(graph)
-    details["torch_cpu_baseline_examples_per_s"] = round(base, 1)
-    details["baseline_loadavg1"] = round(os.getloadavg()[0], 2)
     details["baseline_idle_anchor"] = IDLE_BASELINE_ANCHOR
+    base = 0.0  # re-measured at the END if time remains; max()'d with anchor
 
     def finalize():
         # contention can only understate (see IDLE_BASELINE_ANCHOR)
@@ -237,19 +240,22 @@ def main():
             "details": details,
         }), flush=True)
 
-    # per-model step-time details are best-effort, each gated on the elapsed
-    # budget (a COLD remote compile is minutes; warm-cache runs fit) and all
-    # bounded by an alarm that finalizes early rather than losing the JSON
-    # to the driver's timeout (VERDICT r2 #7: sparse-regime visibility)
+    # per-model step-time details are best-effort.  r4 lesson (VERDICT r4
+    # weak #2): absolute-elapsed gates evaporate when the headline portion
+    # runs long (cold remote compile) — gate each detail on the REMAINING
+    # window vs its own estimated cost instead, highest-priority first
+    # (serving has never landed in a BENCH artifact), and all bounded by an
+    # alarm that finalizes early rather than losing the JSON line.
     class _Deadline(Exception):
         pass
 
     def _on_alarm(*_):
         raise _Deadline()
 
-    def detail(key, budget_s, fn):
-        if time.perf_counter() - t_start >= budget_s:
-            details[key] = "skipped: time budget"
+    def detail(key, est_s, fn):
+        remaining = WINDOW_S - (time.perf_counter() - t_start)
+        if remaining < est_s:
+            details[key] = f"skipped: {remaining:.0f}s left < est {est_s}s"
             return
         try:
             details[key] = round(fn() * 1e3, 3)
@@ -334,12 +340,25 @@ def main():
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(max(int(WINDOW_S - (time.perf_counter() - t_start)), 1))
     try:
-        detail("serving_topk256_ms", 300, serving_latency)
-        detail("dgcf_step_ms", 340, lambda: bench_attention_model(
+        # est_s = warm-cache compile (~15-25s, CLAUDE.md r4 measurement)
+        # + 2 chained epochs + slack; kgat_kg adds the 1.6M-triple KG build
+        detail("serving_topk256_ms", 45, serving_latency)
+        detail("dgcf_step_ms", 50, lambda: bench_attention_model(
             graph, "dgcf"))
-        detail("tgcn_step_ms", 410, lambda: bench_attention_model(
+        detail("tgcn_step_ms", 50, lambda: bench_attention_model(
             graph, "tgcn"))
-        detail("kgat_kg_step_ms", 440, kg_kgat)
+        detail("kgat_kg_step_ms", 90, kg_kgat)
+        # torch baseline LAST (VERDICT r4 #4): it is max()'d with the idle
+        # anchor anyway, so skipping it under time pressure only means the
+        # anchor stands in — the details above must land first.
+        remaining = WINDOW_S - (time.perf_counter() - t_start)
+        if remaining >= 40:
+            base = bench_torch_baseline(graph)
+            details["torch_cpu_baseline_examples_per_s"] = round(base, 1)
+            details["baseline_loadavg1"] = round(os.getloadavg()[0], 2)
+        else:
+            details["torch_cpu_baseline_examples_per_s"] = (
+                f"skipped ({remaining:.0f}s left): idle anchor used")
     except _Deadline:
         pass
     finally:

@@ -147,6 +147,9 @@ class TripleSet(NamedTuple):
 def build_triple_set(triples: np.ndarray, n_rel: int, n_ids: int):
     """Host build -> (TripleSet, per-triple int32 flat keys h*n_rel + r)."""
     h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
+    # _pair_member's binary search takes from skey/stail; zero-length arrays
+    # would fail far from the cause (ADVICE r4) — an empty KG is a data bug
+    assert len(triples) > 0, "build_triple_set: empty triple array"
     keys = (h.astype(np.int64) * n_rel + r.astype(np.int64))
     assert keys.max(initial=0) < 2**31 and n_ids < 2**31
     order = np.lexsort((t, keys))

@@ -133,6 +133,9 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
     batch sample a corrupted tail outside the observed (h, r, *) set
     (train_data/transe_training_data.py:12-71).
 
+    ``n_rel_or_keys`` is either ``n_rel`` (int — the membership set is built
+    here) or a prebuilt ``(sampling.TripleSet, keys)`` pair.
+
     ``window=True`` reproduces the reference KGAT sampler's
     overlapping-prefix-window quirk exactly (SURVEY quirk #5,
     train_data/transe_training_data.py:31-37): ``reset()`` is a no-op —
@@ -148,7 +151,12 @@ def triple_phase(name: str, triples: np.ndarray, n_rel_or_keys, n_ids: int,
         # OOM'd at 10x scale on zipf hub heads (sampling.TripleSet)
         ts, keys = sampling.build_triple_set(triples, n_rel_or_keys, n_ids)
     else:
+        # prebuilt payload must be a (TripleSet, keys) pair — the pre-r4
+        # (PosTable, keys) form would only fail deep inside the jitted epoch
         ts, keys = n_rel_or_keys
+        assert isinstance(ts, sampling.TripleSet), (
+            "triple_phase expects (TripleSet, keys) as the prebuilt payload; "
+            f"got {type(ts).__name__}")
     batch = min(batch, len(triples))  # tiny datasets: one full batch
     steps = max(len(triples) // batch, 1)
     data = {"trips": jnp.asarray(triples, dtype=jnp.int32),

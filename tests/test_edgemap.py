@@ -323,3 +323,60 @@ def test_edge_softmax_rows(setup):
         sums = p.sum(axis=1)
         np.testing.assert_allclose(sums[deg > 0], 1.0, rtol=1e-5)
         assert (sums[deg == 0] == 0.0).all()
+
+
+def test_chunked_gather_budget_matches_unchunked(setup, monkeypatch):
+    """A tiny EDGEMAP_GATHER_BUDGET_BYTES forces the lax.map row-chunk path
+    in _reduce_bucket/_dot_bucket; values AND grads must match the unchunked
+    forms bit-for-bit semantics (VERDICT r4 #3: 10x KGAT memory)."""
+    coo, host, em = setup
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((coo.shape[1], 16)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((coo.shape[0], 16)).astype(np.float32))
+    vals = _vals_from_payload(em)
+
+    ref_reduce = emap.edge_reduce(em, vals, x)
+    ref_dot = emap.edge_dot(em, a, x)
+
+    def loss_reduce(vals, x):
+        return jnp.sum(emap.edge_reduce(em, vals, x) ** 2)
+
+    def loss_dot(a, b):
+        return jnp.sum(jnp.concatenate(
+            [s.reshape(-1) for s in emap.edge_dot(em, a, b)]) ** 2)
+
+    g_ref = jax.grad(loss_reduce, argnums=(0, 1))(vals, x)
+    gd_ref = jax.grad(loss_dot, argnums=(0, 1))(a, x)
+
+    monkeypatch.setattr(emap, "EDGEMAP_GATHER_BUDGET_BYTES", 1 << 12)
+    out = emap.edge_reduce(em, vals, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_reduce),
+                               rtol=1e-5, atol=1e-6)
+    for s, r in zip(emap.edge_dot(em, a, x), ref_dot):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+    g_chunk = jax.grad(loss_reduce, argnums=(0, 1))(vals, x)
+    for gc, gr in zip(jax.tree_util.tree_leaves(g_chunk),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5)
+    gd_chunk = jax.grad(loss_dot, argnums=(0, 1))(a, x)
+    for gc, gr in zip(jax.tree_util.tree_leaves(gd_chunk),
+                      jax.tree_util.tree_leaves(gd_ref)):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_gather_leading_axis(setup, monkeypatch):
+    """Chunked path with a leading [F] factor axis (the DGCF/DisenGCN shape)."""
+    coo, host, em = setup
+    rng = np.random.default_rng(4)
+    F = 3
+    x = jnp.asarray(rng.standard_normal(
+        (F, coo.shape[1], 8)).astype(np.float32))
+    vals = tuple(jnp.broadcast_to(v, (F,) + v.shape) for v in em.f_val)
+    ref = emap.edge_reduce(em, vals, x)
+    monkeypatch.setattr(emap, "EDGEMAP_GATHER_BUDGET_BYTES", 1 << 12)
+    out = emap.edge_reduce(em, vals, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
