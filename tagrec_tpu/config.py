@@ -135,6 +135,13 @@ class TrainConfig:
     # On-device negative sampling: number of masked re-draw rounds replacing the
     # reference's CPU rejection loop (train_data/utils.py:19-28).
     neg_resample_rounds: int = 16
+    # Adam semantics (training/optim.py): "torch" (default) reproduces the
+    # reference's torch.optim.Adam lazy per-parameter state — a phase's
+    # untouched tensors keep their step count / moments frozen, which is what
+    # the two-phase models actually train under (com.py:68-86).  "global" is
+    # optax.adam's one-global-count behavior (identical for single-phase
+    # models; pre-r5 behavior for KGAT/TGCN).
+    adam_impl: str = "torch"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

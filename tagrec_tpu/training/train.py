@@ -195,9 +195,11 @@ class Trainer:
     def __init__(self, phases: List[PhaseSpec], cfg: TrainConfig,
                  optimizer: Optional[optax.GradientTransformation] = None,
                  mesh=None):
+        from tagrec_tpu.training import optim
+
         self.phases = phases
         self.cfg = cfg
-        self.opt = optimizer or optax.adam(cfg.lr)
+        self.opt = optimizer or optim.make_optimizer(cfg)
         self.mesh = mesh
         self._epoch_fns = {}
 

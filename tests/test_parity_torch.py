@@ -410,3 +410,87 @@ def test_tgcn_parity(tiny_graph):
 
     assert_trajectories_close(run_jax(model, params, gdev, batches),
                               run_torch(mirror, batches), rtol=5e-3)
+
+
+def test_kgat_two_phase_shared_adam_parity(tiny_graph):
+    """Cross-phase shared-Adam semantics (round 5): alternating BPR and
+    TransE phases under ONE optimizer must track torch, whose Adam advances a
+    parameter's (count, m, v) only on steps where it has a grad
+    (com.py:68-86 trains exactly this way).  optim.torch_adam reproduces
+    that; the old one-global-count optax.adam mis-scales a phase's first
+    bias corrections (~2.3x) and bleeds momentum into zero-grad steps —
+    asserted divergent below so this test stays sharp."""
+    from tagrec_tpu.models.kgat import KGAT
+    from tagrec_tpu.training import optim
+
+    cfg = model_preset("kgat", reg=1e-4, cor_reg=1e-4)
+    model = KGAT(tiny_graph, cfg)
+    params0 = model.init(jax.random.PRNGKey(5))
+    gdev = model.device_data()
+
+    bpr_batches = fixed_batches(tiny_graph, n_batches=6, seed=31)
+    rng = np.random.default_rng(17)
+    rel = tiny_graph.relation_edges()
+    trips = np.concatenate([
+        np.stack([rel[k][0], np.full(rel[k].shape[1], k), rel[k][1]], axis=1)
+        for k in range(6)])
+    n_ids = tiny_graph.n_user + tiny_graph.n_item + tiny_graph.n_tag
+    tr_batches = []
+    for _ in range(6):
+        sel = rng.integers(0, len(trips), 64)
+        neg = rng.integers(0, n_ids, 64)
+        tr_batches.append(np.concatenate([trips[sel], neg[:, None]],
+                                         axis=1).astype(np.int64))
+    # epoch-like alternation: 3 BPR, 3 TransE, 3 BPR, 3 TransE
+    schedule = ([("bpr", b) for b in bpr_batches[:3]]
+                + [("transe", b) for b in tr_batches[:3]]
+                + [("bpr", b) for b in bpr_batches[3:]]
+                + [("transe", b) for b in tr_batches[3:]])
+
+    def jax_losses(opt):
+        state = opt.init(params0)
+        p = params0
+
+        @jax.jit
+        def step_bpr(p, state, batch):
+            def total(q):
+                return sum(model.bpr_loss(q, gdev, batch,
+                                          key=jax.random.PRNGKey(0)))
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        @jax.jit
+        def step_tr(p, state, batch):
+            def total(q):
+                return sum(model.transe_loss(q, gdev, batch))
+            loss, grads = jax.value_and_grad(total)(p)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        out = []
+        for kind, b in schedule:
+            fn = step_bpr if kind == "bpr" else step_tr
+            p, state, loss = fn(p, state, jnp.asarray(b, jnp.int32))
+            out.append(float(loss))
+        return out
+
+    mirror = TM.TorchKGATDegenerate(
+        np.asarray(params0["user"]), np.asarray(params0["entity"]),
+        np.asarray(params0["relation"]), np.asarray(params0["transE"]),
+        reg=1e-4, cor_reg=1e-4)
+    opt = torch.optim.Adam(mirror.parameters(), lr=0.01)
+    ref = []
+    for kind, b in schedule:
+        loss = mirror.loss(b) if kind == "bpr" else mirror.loss_transe(b)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref.append(float(loss.detach()))
+
+    ours = jax_losses(optim.torch_adam(0.01))
+    assert_trajectories_close(ours, ref, rtol=5e-3)
+    # sharpness: the global-count optimizer must NOT satisfy the same bound
+    stale = np.asarray(jax_losses(optax.adam(0.01)))
+    assert np.max(np.abs(stale - np.asarray(ref))
+                  / np.maximum(np.abs(ref), 1e-8)) > 5e-3
