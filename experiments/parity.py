@@ -452,17 +452,45 @@ def write_parity_md(results, path="PARITY.md"):
         "AGREES: ours(windows) 0.1535 vs win-mirror 0.1568, ratio 0.979 "
         "(vs 0.928 for the full_pass pair).  At hetrec the reference forms "
         "a TIGHT 3-seed cluster (recall 0.0463/0.0467/0.0473, always "
-        "best_epoch 0) ~1.6x above ours(windows) [0.0264..0.0296, "
-        "best_epoch 15] — systematic, not seed noise.  Mechanisms verified "
+        "best_epoch 0) that sat ~1.6x above the PRE-r5 ours(windows) "
+        "[0.0264..0.0296, best_epoch 15] — systematic, not seed noise.  "
+        "Mechanisms verified "
         "EQUAL r4: per-step math (loss-trajectory tests), xavier fan "
         "semantics incl. 3-D transE, phase order (BPR then TransE, one "
         "shared Adam), steps/epoch, eval interval, negative spaces, quirk-#5 "
-        "coverage.  The open residual is confined to the 16-epoch hetrec "
-        "early regime of THIS one model (kgat mid windows ratio 0.979, "
-        "small 0.98); hetrec win-mirror run pending as the discriminator "
-        "(mirror-side ~0.046 would indicate a jax-side early-dynamics "
-        "effect; ~0.03 would indicate reference-runtime behavior both "
-        "independent reimplementations miss).",
+        "coverage.  What remained open was the 16-epoch hetrec early regime "
+        "of THIS one model — resolved in round 5 (next note).",
+        "* ROUND-5 RESOLUTION of the kgat hetrec cell — the residual was "
+        "OPTIMIZER SEMANTICS, found via the r4 discriminator.  The hetrec "
+        "win-mirror ran: recall 0.0687 @ best_epoch 0 — same side and same "
+        "peak-at-first-eval shape as the reference (0.0463-0.0473 @ 0), "
+        "while ours peaked late and low => a jax-side early-dynamics "
+        "difference.  Root cause: the reference trains both phases under "
+        "ONE torch.optim.Adam whose per-parameter state advances ONLY on "
+        "steps where the parameter has a grad (lazy init + grad-None skip); "
+        "the shared optax.adam kept one GLOBAL step count, so after the "
+        "~780-step BPR phase the TransE tensors' first updates saw t=781 "
+        "instead of t=1 — bias-correction mis-scale ~2.3x — and decayed "
+        "momentum kept bleeding into zero-grad steps.  Fix: "
+        "training/optim.py::torch_adam (per-leaf lazy count/m/v, "
+        "participation-gated; bit-identical to optax.adam for single-phase "
+        "models), now the default (TrainConfig.adam_impl).  Verified at "
+        "step level by a new interleaved-phase trajectory test "
+        "(tests/test_parity_torch.py::test_kgat_two_phase_shared_adam_"
+        "parity, rtol 5e-3; the global-count optimizer is asserted "
+        "divergent).  Measured at hetrec: ours(windows) eval-0 recall "
+        "0.0409 -> 0.0589 and the 3-seed cells below are re-measured under "
+        "torch_adam — ours [0.0589..0.0680], ALL best_epoch 0, vs "
+        "reference-actual [0.0463..0.0473] and win-mirror 0.0687: ours now "
+        "sits INSIDE the two-torch-implementation band with matching "
+        "dynamics (ours/actual 1.27-1.44; the mirror/actual spread is "
+        "1.48).  The pre-fix '1.6x deficit' was this optimizer effect "
+        "compounded by best-by-ndcg@10 selection across opposite-signed "
+        "early trajectories.  Longer budgets only widen ours' lead: 48 "
+        "epochs reaches recall 0.0916 @ ep45 (pre-fix measurement) — 2x "
+        "the reference's peak.  kgat/tgcn cells in all tables are "
+        "re-measured under torch_adam (experiments/parity_r5_*.json); "
+        "single-phase models are mathematically unaffected.",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
         "only ~5% faster after sector blocking -> stays opt-in "
         "(ModelConfig.adj_dtype).",
@@ -479,7 +507,15 @@ def write_parity_md(results, path="PARITY.md"):
         "sampler (rounds=16) measured 0/200,704 collisions for BPR "
         "negatives AND 0/200,704 for TransE corrupted tails at hetrec scale "
         "-> distributionally identical to the reference's exact rejection "
-        "loop; the sampler is not a parity variable.\n",
+        "loop; the sampler is not a parity variable.",
+        "* Real hetrec2011 data: ENVIRONMENT-BLOCKED.  The delicious/lastfm/"
+        "movielens `.dat` dumps are not present anywhere in this zero-egress "
+        "image (searched r5), so data/preprocess.py — which implements the "
+        "reference's exact semantics (tag min-counts 15/5/5, id maps, 80/20 "
+        "per-user split) and is tested on synthetic fixtures "
+        "(tests/test_preprocess.py) — has never run on the real dumps.  All "
+        "scales here are synthetic graphs with hetrec-matched shape/sparsity."
+        "\n",
     ]
     for scale in ("small", "mid", "hetrec"):
         if scale not in results:

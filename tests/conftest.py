@@ -14,6 +14,20 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in os.environ["XLA_FLAGS"]:
+    # The CPU thunk executor's concurrency-optimized scheduler starts
+    # INDEPENDENT collectives in different orders on different virtual
+    # devices — a sharded program with both subgroup (mp-pair all-gather)
+    # and global (collective-permute) collectives then deadlocks
+    # nondeterministically (observed: disengcn --dp 4 --mp 2, device 5 in
+    # the [4,5] all-gather while the rest sat in the 8-way permute until
+    # the 40s rendezvous F-check aborted the process; 3/3 repros).  The
+    # default scheduler keeps a consistent order (0 repros in 4 runs).
+    # TPU runtimes order collectives on a dedicated stream, so this is a
+    # CPU-simulation-only hazard.  (xla_cpu_use_thunk_runtime=false is
+    # ignored in jaxlib 0.9 — the legacy runtime is gone.)
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_enable_concurrency_optimized_scheduler=false")
 
 import jax
 
