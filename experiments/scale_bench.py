@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--eval", action="store_true",
                     help="also run one full-catalog evaluation per model "
                          "(proves the eval path at the probed scale)")
+    ap.add_argument("--kg_entities", type=int, default=15_000,
+                    help="entity count for the kgat+kg model variant")
+    ap.add_argument("--kg_triples", type=int, default=500_000,
+                    help="triple count for the kgat+kg model variant")
     args = ap.parse_args()
     if args.hub_budget_mb is not None:
         from tagrec_tpu.ops import ell
@@ -68,14 +72,23 @@ def main():
     for name in args.models:
         # "kgat+prop" = KGAT with the intended bi-interaction propagation
         # (quirk #3 switched off); bare "kgat" is the shipped-config MF path.
-        label, over = name, {}
+        label, over, kg = name, {}, None
         if name == "kgat+prop":
             name, over = "kgat", {"agg_type": "bi_inter"}
+        elif name == "kgat+kg":
+            # true-KG mode at the probed scale (bi_inter over a synthetic
+            # KG with reversed relations — the bench.py kg_kgat detail's
+            # scalable sibling)
+            from tagrec_tpu.data.kg import KnowledgeGraph
+            name, over = "kgat", {"agg_type": "bi_inter"}
+            kg = KnowledgeGraph.synthetic(graph, n_entity=args.kg_entities,
+                                          n_triples=args.kg_triples,
+                                          n_rela=6, seed=0)
         elif name.endswith("+bf16"):
             name, over = name[:-5], {"adj_dtype": "bf16"}
         mcfg = model_preset(name, reg=1e-4, **over)
         tcfg = TrainConfig(train_batch=args.batch)
-        pipe = build_pipeline(graph, mcfg, tcfg)
+        pipe = build_pipeline(graph, mcfg, tcfg, kg=kg)
         phase = pipe.phases[0]
         phase.steps_per_epoch = min(phase.steps_per_epoch, args.steps)
         steps = phase.steps_per_epoch
