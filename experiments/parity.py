@@ -429,8 +429,9 @@ def write_parity_md(results, path="PARITY.md"):
         "noisiest cell: absolute recall ~0.01 (the shipped-config KGAT is "
         "degenerate MF, quirk #3) and the MIRROR's own 3-seed spread "
         "[0.0079..0.0128] is 1.6x wide, overlapping ours [0.0068..0.0088] "
-        "— per-seed ratios 0.69/0.67/0.86.  kgat parity where training "
-        "progresses: mid 0.93, small 0.98.",
+        "— pre-r5 per-seed ratios 0.69/0.67/0.86 (0.82 mean after the r5 "
+        "optimizer fix).  kgat parity where training progresses: mid "
+        "1.00 (r5), small 0.98.",
         "* ROUND-4 ROOT CAUSE of the kgat hetrec cell: quirk #5 is a large "
         "QUALITY lever, not noise.  The reference's TransE sampler covers "
         "only ~N//B + B overlapping prefix triples per epoch (never "
@@ -450,6 +451,7 @@ def write_parity_md(results, path="PARITY.md"):
         "is not a residual parity variable.  At mid scale — where training "
         "progresses past the chaotic first evals — the quirk-faithful pair "
         "AGREES: ours(windows) 0.1535 vs win-mirror 0.1568, ratio 0.979 "
+        "(0.995 re-measured under the r5 optimizer fix) "
         "(vs 0.928 for the full_pass pair).  At hetrec the reference forms "
         "a TIGHT 3-seed cluster (recall 0.0463/0.0467/0.0473, always "
         "best_epoch 0) that sat ~1.6x above the PRE-r5 ours(windows) "
@@ -487,8 +489,9 @@ def write_parity_md(results, path="PARITY.md"):
         "1.48).  The pre-fix '1.6x deficit' was this optimizer effect "
         "compounded by best-by-ndcg@10 selection across opposite-signed "
         "early trajectories.  Longer budgets only widen ours' lead: 48 "
-        "epochs reaches recall 0.0916 @ ep45 (pre-fix measurement) — 2x "
-        "the reference's peak.  kgat/tgcn cells in all tables are "
+        "epochs reaches recall 0.0675 @ ep45 under torch_adam (0.0916 in the "
+        "pre-fix measurement; parity_r5_win48.json) — 1.4-2x the "
+        "reference's peak.  kgat/tgcn cells in all tables are "
         "re-measured under torch_adam (experiments/parity_r5_*.json); "
         "single-phase models are mathematically unaffected.",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
