@@ -46,11 +46,19 @@ def main():
                     help="entity count for the kgat+kg model variant")
     ap.add_argument("--kg_triples", type=int, default=500_000,
                     help="triple count for the kgat+kg model variant")
+    ap.add_argument("--edgemap_budget_mb", type=int, default=None,
+                    help="override ops.edgemap.EDGEMAP_GATHER_BUDGET_BYTES "
+                         "(row-chunk size of the attention-model slot "
+                         "gathers at 10x scale)")
     args = ap.parse_args()
     if args.hub_budget_mb is not None:
         from tagrec_tpu.ops import ell
         ell.HUB_BLOCK_BUDGET_BYTES = args.hub_budget_mb << 20
         print(f"hub budget: {args.hub_budget_mb} MB", flush=True)
+    if args.edgemap_budget_mb is not None:
+        from tagrec_tpu.ops import edgemap
+        edgemap.EDGEMAP_GATHER_BUDGET_BYTES = args.edgemap_budget_mb << 20
+        print(f"edgemap budget: {args.edgemap_budget_mb} MB", flush=True)
 
     import jax
 
