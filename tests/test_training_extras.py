@@ -197,3 +197,34 @@ def test_triple_phase_reference_windows():
     st = full.epoch_reset(jax.random.PRNGKey(0), full.data)
     assert not np.array_equal(np.asarray(st[0]), trips)
     assert sorted(map(tuple, np.asarray(st[0]))) == sorted(map(tuple, trips))
+
+
+def test_adam_impl_switch(tiny_graph):
+    """TrainConfig.adam_impl: 'torch' (default) and 'global' both train; the
+    torch transform is bit-identical to optax.adam when every leaf gets a
+    gradient every step (single-phase models)."""
+    from tagrec_tpu.compose import build_pipeline
+    from tagrec_tpu.training import optim
+    from tagrec_tpu.training.train import Trainer
+
+    finals = {}
+    for impl in ("torch", "global"):
+        mcfg = model_preset("lightgcn", reg=1e-4)
+        tcfg = TrainConfig(train_batch=32, epochs=1, test_interval=1,
+                           adam_impl=impl)
+        pipe = build_pipeline(tiny_graph, mcfg, tcfg)
+        phase = pipe.phases[0]
+        phase.steps_per_epoch = min(phase.steps_per_epoch, 4)
+        trainer = Trainer([phase], tcfg)
+        params = pipe.model.init(jax.random.PRNGKey(0))
+        opt_state = trainer.init_opt_state(params)
+        fn = trainer._epoch_fn(phase)
+        p, _, _, parts = fn(params, opt_state, jax.random.PRNGKey(1),
+                            pipe.gdev, phase.data)
+        finals[impl] = np.asarray(jax.tree_util.tree_leaves(p)[0])
+        assert np.isfinite(np.asarray(parts)).all()
+    # single-phase: identical trajectories across implementations
+    np.testing.assert_allclose(finals["torch"], finals["global"],
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="unknown adam_impl"):
+        optim.make_optimizer(TrainConfig(adam_impl="bogus"))
