@@ -22,7 +22,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXP = os.path.join(ROOT, "experiments")
 MAIN = os.path.join(EXP, "parity_results.json")
 ARCHIVE = os.path.join(EXP, "parity_pre_torchadam_archive.json")
-EXCLUDE = {"parity_r5_win48.json"}
+EXCLUDE = {"parity_r5_win48.json", "parity_r5_win120.json"}
 
 
 def main():

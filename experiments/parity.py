@@ -489,9 +489,12 @@ def write_parity_md(results, path="PARITY.md"):
         "1.48).  The pre-fix '1.6x deficit' was this optimizer effect "
         "compounded by best-by-ndcg@10 selection across opposite-signed "
         "early trajectories.  Longer budgets only widen ours' lead: 48 "
-        "epochs reaches recall 0.0675 @ ep45 under torch_adam (0.0916 in the "
-        "pre-fix measurement; parity_r5_win48.json) — 1.4-2x the "
-        "reference's peak.  kgat/tgcn cells in all tables are "
+        "epochs reaches recall [0.0675..0.0722] @ ep45 over 3 seeds under "
+        "torch_adam (parity_r5_win48.json) and 120 epochs reaches 0.0981 @ "
+        "ep110, ndcg@10 0.3225, still climbing at the budget end "
+        "(parity_r5_win120.json) — 1.5x / 2.1x the reference's best recall "
+        "and 3.1x its best ndcg@10 on its own quirk-faithful protocol.  "
+        "kgat/tgcn cells in all tables are "
         "re-measured under torch_adam (experiments/parity_r5_*.json); "
         "single-phase models are mathematically unaffected.",
         "* bf16 verdict: quality-neutral at hetrec scale (table below) but "
