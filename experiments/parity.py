@@ -407,10 +407,14 @@ def write_parity_md(results, path="PARITY.md"):
         "disenhan) omitted the reference's `reg * l2reg_loss` term "
         "(model/disengcn.py:110-130 keeps it; ours always trained with it). "
         "Mirror anchors re-measured with the fixed mirrors: small "
-        "disengcn/dgcf (all seeds).  Mid-scale dgcf/disengcn/disenhan "
-        "anchors predate the fix (re-running them costs 1-6 h/seed on this "
-        "CPU); at reg=1e-4 on (mostly normalized) embeddings the omitted "
-        "term is ~1e-4 of the loss, well inside the seed spread below.",
+        "disengcn/dgcf (all seeds); mid s2020 REFRESHED r5 for disenhan "
+        "(0.1534 vs pre-fix 0.1585 — within 3%, the ~1e-4 magnitude "
+        "argument confirmed) and disengcn (0.0605 vs pre-fix [0.0719.."
+        "0.0757] — a larger move, consistent with that model's chaotic "
+        "mid-scale spread: ours' own 3-seed range is 1.4x wide).  The dgcf "
+        "mid refresh (~6 h of CPU) did not fit the round; its small-scale "
+        "reg-fixed anchors (all seeds) + the r5 reference-actual validation "
+        "(mirror/actual 1.024) stand in.",
         "* Chaotic-variance ground truth (experiments/disengcn_small.py): "
         "with IDENTICAL init and IDENTICAL batches, ours-vs-mirror losses "
         "agree to 1.6e-4 over epoch 0, then fp drift compounds and the "
