@@ -487,10 +487,11 @@ def write_parity_md(results, path="PARITY.md"):
         "divergent).  Measured at hetrec: ours(windows) eval-0 recall "
         "0.0409 -> 0.0589 and the 3-seed cells below are re-measured under "
         "torch_adam — ours [0.0589..0.0680], ALL best_epoch 0, vs "
-        "reference-actual [0.0463..0.0473] and win-mirror 0.0687: ours now "
-        "sits INSIDE the two-torch-implementation band with matching "
-        "dynamics (ours/actual 1.27-1.44; the mirror/actual spread is "
-        "1.48).  The pre-fix '1.6x deficit' was this optimizer effect "
+        "reference-actual [0.0463..0.0473] and the 3-seed win-mirror "
+        "[0.0618..0.0687] (also all best_epoch 0): ours now sits INSIDE the "
+        "two-torch-implementation band with matching dynamics — per-seed "
+        "windows/win-mirror 0.86/0.88/1.10 (mean 0.94), ours/actual "
+        "1.27-1.44, mirror/actual spread up to 1.48.  The pre-fix '1.6x deficit' was this optimizer effect "
         "compounded by best-by-ndcg@10 selection across opposite-signed "
         "early trajectories.  Longer budgets only widen ours' lead: 48 "
         "epochs reaches recall [0.0675..0.0722] @ ep45 over 3 seeds under "
